@@ -1,0 +1,62 @@
+"""Crawler configuration — mirrors the reference's public config surface
+(/root/reference/src/crawler.ts:284-605) plus the Spark-engine knobs that
+replace its timer loop (interval/maxConcurrency → per-host wave token budget).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+from .functions.urlkit import UrlOptions
+
+
+@dataclass
+class CrawlerConfig:
+    # --- reference knobs (crawler.ts line refs in comments) ---
+    initial_url: str = ""
+    user_agent: str = ("Node/simplecrawler (https://github.com/simplecrawler/"
+                       "simplecrawler)")                   # :319 (shape only)
+    interval_ms: int = 250                                  # :297
+    max_concurrency: int = 5                                # :303
+    timeout_ms: int = 300_000                               # :308
+    max_resource_size: int = 16 * 1024 * 1024               # :475
+    max_depth: int = 0                                      # :438
+    filter_by_domain: bool = True                           # :363
+    ignore_www_domain: bool = True                          # :377
+    scan_subdomains: bool = False                           # :370
+    domain_whitelist: Sequence[str] = ()                    # :459
+    allow_initial_domain_change: bool = False               # :340
+    strip_querystring: bool = False                         # :498
+    sort_query_parameters: bool = False                     # :504
+    strip_www_domain: bool = False                          # :510
+    url_encoding: str = "unicode"                           # :383
+    parse_html_comments: bool = True                        # :558
+    parse_script_tags: bool = True                          # :564
+    respect_robots_txt: bool = True                         # :346
+    download_unsupported: bool = True                       # :493
+    decode_responses: bool = False                          # :389
+    decompress_responses: bool = True                       # :396
+    accept_cookies: bool = True                             # :402
+    discover_resources: bool = True                         # :551 (flag :571)
+    # user conditions (P8/P9): vectorized predicates over a pandas batch of
+    # candidate/header rows → boolean Series (or per-row bool). Raising marks
+    # the row fetchconditionerror / downloadconditionerror.
+    fetch_conditions: List[Callable] = field(default_factory=list)
+    download_conditions: List[Callable] = field(default_factory=list)
+
+    # --- Spark engine knobs ---
+    host_buckets: int = 64            # salt buckets for host-hash partitioning
+    tokens_per_host_per_wave: Optional[int] = None  # None = unlimited (politeness off)
+    max_waves: int = 1000
+    id_mode: str = "dense"            # 'dense' (reference-identical ids) | 'composite'
+    record_fetch_log: bool = True     # collect per-wave fetch-start order (tests)
+    shuffle_partitions: Optional[int] = None
+
+    def url_options(self) -> UrlOptions:
+        return UrlOptions(
+            strip_querystring=self.strip_querystring,
+            sort_query_parameters=self.sort_query_parameters,
+            strip_www_domain=self.strip_www_domain,
+            url_encoding=self.url_encoding,
+        )

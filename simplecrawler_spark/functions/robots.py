@@ -1,0 +1,195 @@
+"""robots.txt parsing + allow/deny evaluation (reference parity kernel).
+
+Parity targets:
+- RobotsFile            ⇔ the npm ``robots-parser`` (v2.x) object stored per
+                          touched host in ``_robotsTxts``
+                          (/root/reference/src/crawler.ts:603,1308-1310)
+- url_is_allowed        ⇔ Crawler.urlIsAllowed /root/reference/src/crawler.ts:683-701
+                          (fold over robots files in host-touch order; first
+                           non-undefined verdict wins; undefined ⇒ allowed)
+
+Semantics implemented from the public robots.txt spec (Google REP / RFC 9309)
+as implemented by robots-parser:
+- a robots file only answers for URLs on its own (protocol, host, port) —
+  anything else is "no verdict" (None);
+- user-agent groups; lookup key is the part of the UA string before the first
+  "/", lowercased; fallback group "*";
+- Allow/Disallow patterns are prefix matches; "*" is a wildcard, "$" anchors
+  the end; the longest matching plain pattern wins, Allow winning ties;
+  a matching wildcard rule returns immediately (robots-parser quirk);
+- empty Disallow ⇒ no rule (allow everything);
+- Sitemap lines are collected verbatim (absolutized by the caller).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+from urllib.parse import unquote, urlsplit
+
+__all__ = ["RobotsFile", "RobotsStore", "parse_robots"]
+
+_WILDCARD_CHARS = re.compile(r"[*$]")
+
+
+def _format_user_agent(ua: str) -> str:
+    """robots-parser formatUserAgent: token before the first '/', lowercased."""
+    return ua.split("/")[0].strip().lower()
+
+
+def _normalize_path(path_and_query: str) -> str:
+    """Percent-decode then re-encode is skipped; match on the decoded path
+    like robots-parser's urlEncodeToUpper round-trip (ASCII-safe for our
+    corpus). Leading '/' guaranteed."""
+    p = unquote(path_and_query)
+    return p if p.startswith("/") else "/" + p
+
+
+@dataclass
+class _Rule:
+    pattern: str
+    allow: bool
+    regex: Optional[re.Pattern] = None  # set when pattern has * or $
+
+
+def _compile_rule(pattern: str, allow: bool) -> _Rule:
+    pattern = _normalize_path(pattern)
+    if _WILDCARD_CHARS.search(pattern):
+        parts = []
+        for ch in pattern:
+            if ch == "*":
+                parts.append("(?:.*)")
+            elif ch == "$":
+                parts.append("$")
+            else:
+                parts.append(re.escape(ch))
+        return _Rule(pattern, allow, re.compile("^" + "".join(parts)))
+    return _Rule(pattern, allow)
+
+
+@dataclass
+class RobotsFile:
+    """One parsed robots.txt, scoped to its origin (protocol, host, port)."""
+    url: str
+    protocol: str = ""
+    host: str = ""
+    port: int = 80
+    groups: dict = field(default_factory=dict)  # ua-token -> List[_Rule]
+    sitemaps: List[str] = field(default_factory=list)
+
+    def is_allowed(self, url: str, user_agent: str = "*") -> Optional[bool]:
+        """True/False verdict, or None when this file has no authority over
+        ``url`` (different origin) — mirrors robots-parser isAllowed."""
+        try:
+            sp = urlsplit(url)
+        except ValueError:
+            return None
+        scheme = (sp.scheme or "http").lower()
+        port = sp.port or (443 if scheme == "https" else 80)
+        if (scheme != self.protocol or (sp.hostname or "").lower() != self.host
+                or port != self.port):
+            return None
+        rules = self.groups.get(_format_user_agent(user_agent))
+        if rules is None:
+            rules = self.groups.get("*")
+        if rules is None:
+            return True
+        path = _normalize_path((sp.path or "/") + (("?" + sp.query) if sp.query else ""))
+        best: Optional[_Rule] = None
+        for rule in rules:
+            if rule.regex is not None:
+                if rule.regex.search(path):
+                    return rule.allow  # wildcard rule: first match returns
+                continue
+            if not path.startswith(rule.pattern):
+                continue
+            if (best is None or len(rule.pattern) > len(best.pattern)
+                    or (len(rule.pattern) == len(best.pattern)
+                        and rule.allow and not best.allow)):
+                best = rule
+        return True if best is None else best.allow
+
+
+def parse_robots(robots_url: str, body: str) -> RobotsFile:
+    """Parse a robots.txt body fetched from ``robots_url``."""
+    sp = urlsplit(robots_url)
+    scheme = (sp.scheme or "http").lower()
+    rf = RobotsFile(
+        url=robots_url, protocol=scheme, host=(sp.hostname or "").lower(),
+        port=sp.port or (443 if scheme == "https" else 80))
+
+    current_agents: List[str] = []
+    seen_rule_in_group = True  # new UA line after rules starts a new group set
+    for raw_line in (body or "").splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if seen_rule_in_group:
+                current_agents = []
+                seen_rule_in_group = False
+            current_agents.append(value.lower())
+            for a in current_agents:
+                rf.groups.setdefault(a, rf.groups.get(a, []))
+        elif key in ("allow", "disallow"):
+            seen_rule_in_group = True
+            if not value:
+                continue  # empty Disallow/Allow: no rule
+            for a in (current_agents or ["*"]):
+                rf.groups.setdefault(a, []).append(
+                    _compile_rule(value, key == "allow"))
+        elif key == "sitemap":
+            seen_rule_in_group = True
+            if value:
+                rf.sitemaps.append(value)
+    return rf
+
+
+class RobotsStore:
+    """Ordered store of parsed robots files — the ``_robotsTxts`` analog.
+
+    ``url_is_allowed`` replicates crawler.ts:683-701: reduce over files in
+    touch order, first non-None verdict wins, default True.
+    """
+
+    def __init__(self, user_agent: str = "*") -> None:
+        self.files: List[RobotsFile] = []
+        self.user_agent = user_agent
+        self.touched_hosts: List[str] = []  # origin strings, _touchedHosts analog
+
+    def touch(self, origin: str) -> bool:
+        """Record a host origin; True when it was new (robots fetch needed)."""
+        if origin in self.touched_hosts:
+            return False
+        self.touched_hosts.append(origin)
+        return True
+
+    def add(self, robots: RobotsFile) -> None:
+        self.files.append(robots)
+
+    def url_is_allowed(self, url: str) -> bool:
+        verdict: Optional[bool] = None
+        try:
+            for rf in self.files:
+                v = rf.is_allowed(url, self.user_agent)
+                if verdict is None:
+                    verdict = v
+        except Exception:
+            return False  # punycode-choke path: URL will be avoided
+        return True if verdict is None else verdict
+
+    def to_rows(self) -> List[Tuple[str, int, str, str, str]]:
+        """Flatten to (host_origin, touched_seq, user_agent, rule, pattern)
+        rows for the broadcastable ``robots_rules`` side table."""
+        rows = []
+        for seq, rf in enumerate(self.files):
+            origin = f"{rf.protocol}://{rf.host}:{rf.port}"
+            for ua, rules in rf.groups.items():
+                for r in rules:
+                    rows.append((origin, seq, ua,
+                                 "allow" if r.allow else "disallow", r.pattern))
+        return rows

@@ -1,0 +1,174 @@
+"""Arrow-batched kernels for the wave hot path.
+
+Two mapInPandas passes carry ALL per-row Python work of a wave:
+
+1. ``make_body_processor(config)`` — unzip (T2) → decode (T1) → discover
+   (D1/D2) → clean/absolutize/per-page-dedupe (D3), one pass over the fetched
+   pages of a wave. Mirrors handleResponse's data path
+   (/root/reference/src/crawler.ts:1786-1802,1705-1716,965-994,846-886).
+
+2. ``make_candidate_processor(config, robots_rows, crawl_hosts)`` —
+   canonicalize (P2, crawler.ts:895-958) + the full enqueue filter chain of
+   queueURL (crawler.ts:1483-1523): domainValid (P5), urlIsAllowed (P6),
+   fetch conditions (P8); emits ``reject_reason`` instead of events.
+
+Everything else in the wave (status branching, joins, dedupe, politeness
+ranking, id assignment) is JVM-side DataFrame code — no per-row Python.
+
+The robots store is passed as parsed-rule rows (host-scoped, touch-ordered)
+so the closure ships compactly to executors; at 10^10-URL scale this becomes
+a broadcast ``robots_rules`` side table instead of a closure capture.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, List, Optional
+
+import pandas as pd
+
+from ..config import CrawlerConfig
+from ..functions.decode import decode_buffer, mime_type_supported, protocol_supported, unzip
+from ..functions.discovery import clean_expand_resources, discover_resources
+from ..functions.filters import DomainRules, domain_valid
+from ..functions.robots import RobotsFile, RobotsStore
+from ..functions.urlkit import process_url
+
+_GZIPPY = ("gzip", "deflate")
+
+
+def _needs_unzip(content_encoding: Optional[str]) -> bool:
+    return bool(content_encoding) and any(e in content_encoding for e in _GZIPPY)
+
+
+def make_body_processor(config: CrawlerConfig) -> Callable:
+    """mapInPandas kernel: (id, url, protocol, html, content_type,
+    content_encoding, do_discover) → BODY_SCHEMA rows."""
+    parse_comments = config.parse_html_comments
+    parse_scripts = config.parse_script_tags
+    respect_robots = config.respect_robots_txt
+    decompress_flag = config.decompress_responses
+    decode_flag = config.decode_responses
+    discover_flag = config.discover_resources
+    download_unsupported = config.download_unsupported
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "body": [], "text": [], "extracted_text": [],
+                   "discovered": [], "gzip_error": []}
+            for row in pdf.itertuples(index=False):
+                raw = bytes(row.html) if row.html is not None else b""
+                ctype = row.content_type
+                gzip_error = False
+                decompressed = None
+                if _needs_unzip(row.content_encoding):
+                    decompressed, err = unzip(raw)
+                    if err is not None:
+                        gzip_error = True
+                        decompressed = None
+                body_for_discovery = decompressed if decompressed is not None else raw
+                body_emitted = (decompressed
+                                if decompressed is not None and decompress_flag
+                                else raw)
+                text = decode_buffer(body_emitted, ctype or "") if decode_flag else None
+                extracted = decode_buffer(body_for_discovery, ctype or "")
+                discovered: List[str] = []
+                mime_ok = bool(ctype) and mime_type_supported(ctype)
+                if row.do_discover and discover_flag and mime_ok:
+                    # Buffer.toString() in queueLinkedItems (crawler.ts:1080):
+                    # utf8 with replacement, regardless of charset
+                    disc_text = body_for_discovery.decode("utf-8", errors="replace")
+                    matches = discover_resources(
+                        disc_text,
+                        parse_html_comments=parse_comments,
+                        parse_script_tags=parse_scripts,
+                        respect_robots_txt=respect_robots)
+                    discovered = clean_expand_resources(
+                        matches, row.url, row.protocol, protocol_supported)
+                out["id"].append(row.id)
+                out["body"].append(body_emitted)
+                out["text"].append(text)
+                out["extracted_text"].append(extracted)
+                out["discovered"].append(discovered)
+                out["gzip_error"].append(gzip_error)
+            yield pd.DataFrame(out)
+
+    return process
+
+
+def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFile],
+                             crawl_host: str) -> Callable:
+    """mapInPandas kernel over CANDIDATE_SCHEMA rows → PROCESSED_CANDIDATE rows.
+
+    Filter order per queueURL (crawler.ts:1483-1523):
+    junk → invaliddomain → fetchdisallowed (robots) → fetchconditionerror /
+    fetchprevented; depth gate (crawler.ts:1086-1090) applies only to rows
+    with skip_depth_gate == False (discoveries — redirects and sitemaps
+    bypass it, see R1/S3).
+    """
+    opts = config.url_options()
+    rules = DomainRules(
+        host=crawl_host,
+        filter_by_domain=config.filter_by_domain,
+        ignore_www_domain=config.ignore_www_domain,
+        scan_subdomains=config.scan_subdomains,
+        domain_whitelist=list(config.domain_whitelist),
+    )
+    store = RobotsStore(config.user_agent)
+    store.files = robots_files
+    max_depth = config.max_depth
+    fetch_conditions = config.fetch_conditions
+    respect_robots = config.respect_robots_txt
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {c: [None] * n for c in
+                    ("url", "protocol", "host", "port", "path", "uri_path")}
+            depths = [0] * n
+            reasons: List[Optional[str]] = [None] * n
+            for i, row in enumerate(pdf.itertuples(index=False)):
+                if (not row.skip_depth_gate and max_depth != 0
+                        and row.referrer_depth + 1 > max_depth):
+                    reasons[i] = "depthlimit"
+                    continue
+                item = process_url(row.raw_url, row.referrer_url,
+                                   row.referrer_depth, opts)
+                if item is None:
+                    reasons[i] = "junk"
+                    continue
+                for c in ("url", "protocol", "host", "port", "path", "uri_path"):
+                    cols[c][i] = item[c]
+                depths[i] = item["depth"]
+                if row.is_seed_chain:
+                    depths[i] = 1  # crawler.ts:1947-1949
+                if not domain_valid(item["host"], rules):
+                    reasons[i] = "invaliddomain"
+                    continue
+                if respect_robots and not store.url_is_allowed(item["url"]):
+                    reasons[i] = "fetchdisallowed"
+                    continue
+                ok = True
+                for cond in fetch_conditions:
+                    try:
+                        if not cond(item, row._asdict() if hasattr(row, "_asdict") else {}):
+                            reasons[i] = "fetchprevented"
+                            ok = False
+                            break
+                    except Exception:
+                        reasons[i] = "fetchconditionerror"
+                        ok = False
+                        break
+                if not ok:
+                    continue
+            out = pdf.copy()
+            for c, vals in cols.items():
+                out[c] = vals
+            out["port"] = pd.array(cols["port"], dtype="Int32")
+            out["depth"] = pd.array(depths, dtype="Int32")
+            out["reject_reason"] = reasons
+            yield out[["raw_url", "referrer_id", "pos", "referrer_url",
+                       "referrer_depth", "is_seed_chain", "skip_depth_gate",
+                       "url", "protocol", "host", "port", "path", "uri_path",
+                       "depth", "reject_reason"]]
+
+    return process

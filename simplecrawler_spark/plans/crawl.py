@@ -1,0 +1,621 @@
+"""The wave crawler — simplecrawler's timer loop re-expressed as batch waves.
+
+One wave generalizes N scheduler ticks (SURVEY.md §3.1): select due frontier
+rows FIFO (politeness-budgeted), claim them, robots-gate new hosts, "fetch"
+by joining the pages table, branch statuses exactly like handleResponse
+(/root/reference/src/crawler.ts:1663-2007), run the text pipeline in one
+Arrow pass, push discovered/redirect/sitemap URLs through the enqueue filter
+chain, anti-join the URL-seen set, assign dense FIFO ids, and commit the next
+frontier. Loop until no queued rows remain (Q12, crawler.ts:1339-1355).
+
+Correctness contract vs the reference (BASELINE.json input_hint): identical
+fetch-start order, URL-seen set, per-item status, and byte-identical
+extracted text per URL under the same seed list + politeness budget.
+
+Scale design (north_rule):
+- frontier partitioned by host_bucket = xxhash64(host) % B (salt against
+  hot-domain skew at the fetch/body stage);
+- body pipeline is mapInPandas (Arrow) — no per-row Python at the DF level;
+- seen-set = left_anti join on canonical url, optionally pre-filtered by the
+  partitioned Bloom side table (simplecrawler_spark.bloom);
+- per-wave lineage rows (wave, host_bucket, url_count, bloom FPR) + event
+  counters (§2.9) recorded in ``self.metrics`` / persisted by the store;
+- each wave ends at a materialization boundary (localCheckpoint or store
+  commit) so the logical plan does not grow across waves — the Iceberg
+  analog is one snapshot commit per wave.
+
+Two due-selection paths:
+- ``record_fetch_log=True`` (tests / small crawls): the due set is collected
+  to the driver once per wave — robots gating, fetch-order logging and the
+  disallowed split happen driver-side, minimizing Spark job count (each job
+  carries ~0.3 s fixed cost on a local cluster).
+- ``record_fetch_log=False`` (bench / scale): everything stays distributed;
+  robots verdicts run in an Arrow pass over the due partition.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window, functions as F
+
+from ..config import CrawlerConfig
+from ..functions.cookies import CookieJar
+from ..functions.decode import decode_buffer, unzip
+from ..functions.robots import RobotsStore, parse_robots
+from ..functions.urlkit import process_url
+from ..operators.ids import assign_dense_ids
+from ..operators.politeness import select_due
+from ..operators.udfs import make_body_processor, make_candidate_processor
+from ..schema import (BODY_SCHEMA, CANDIDATE_SCHEMA, FRONTIER_SCHEMA,
+                      PROCESSED_CANDIDATE_SCHEMA)
+
+# JVM-side mime gate (P4) — keeps the hot path in whole-stage codegen
+SUPPORTED_MIME_RLIKE = (r"^(text/.*|application/(rss|html|xhtml)?[+/-]?xml.*"
+                        r"|application/javascript.*|xml.*)$")
+_COMPRESSED_RLIKE = "(gzip|deflate)"
+
+
+def _origin_url(protocol: str, host: str, port) -> str:
+    port = port or 0
+    default = (protocol == "http" and port in (0, 80)) or \
+              (protocol == "https" and port in (0, 443))
+    port_part = "" if default else f":{port}"
+    return f"{protocol}://{host}{port_part}"
+
+
+class WaveCrawler:
+    def __init__(self, spark: SparkSession, pages: DataFrame, config: CrawlerConfig,
+                 cache: Optional[DataFrame] = None, store=None, keep_content: bool = True):
+        self.spark = spark
+        self.config = config
+        self.store = store
+        self.keep_content = keep_content
+        # pages table: fetch = frontier ⨝ pages on url (input_hint corpus)
+        self.pages = pages
+        self.cache = cache  # (url, etag, last_modified) from a previous crawl
+        self.robots = RobotsStore(config.user_agent)
+        self.jar = CookieJar()
+        self.metrics: List[Dict] = []
+        self.fetch_log: List[tuple] = []   # (wave, id, url) in fetch-start order
+        self.events: Dict[str, int] = {}
+        self.frontier: Optional[DataFrame] = None
+        self._content_parts: List[DataFrame] = []  # fetched_pages fragments
+        self.wave = 0
+        self.next_id = 0
+        self.queued_count: Optional[int] = None
+        self.first_request_active = True   # _isFirstRequest, crawler.ts:597
+        seed = process_url(config.initial_url, None, 0, config.url_options(),
+                           initial_url=config.initial_url)
+        if seed is None:
+            raise ValueError(f"unprocessable initial URL: {config.initial_url}")
+        self.crawl_host = seed["host"]     # may change, crawler.ts:1951-1953
+
+    # ------------------------------------------------------------------ utils
+    @property
+    def content(self) -> Optional[DataFrame]:
+        """fetched_pages analog: (id, url, depth, body, text, extracted_text,
+        gzip_error, wave) — per-wave appended fragments (Iceberg appends)."""
+        if not self._content_parts:
+            return None
+        out = self._content_parts[0]
+        for part in self._content_parts[1:]:
+            out = out.unionByName(part)
+        return out
+
+    def _count(self, name: str, n: int) -> None:
+        if n:
+            self.events[name] = self.events.get(name, 0) + int(n)
+
+    def _host_bucket_col(self):
+        return (F.abs(F.xxhash64(F.col("host"))) % self.config.host_buckets) \
+            .cast("int").alias("host_bucket")
+
+    def _commit(self, df: DataFrame) -> DataFrame:
+        """Wave materialization boundary (Iceberg snapshot analog). Coalesce
+        bounds partition growth from per-wave unions (no shuffle)."""
+        if self.store is not None:
+            return self.store.commit_frontier(self.wave, df)
+        n = self.spark.sparkContext.defaultParallelism
+        return df.coalesce(n).localCheckpoint(eager=True)
+
+    def _item_row(self, item: dict, id_: int, depth: int, referrer: str,
+                  is_seed_chain: bool) -> dict:
+        return {"id": id_, "url": item["url"], "protocol": item["protocol"],
+                "host": item["host"], "port": item["port"], "path": item["path"],
+                "uri_path": item["uri_path"], "depth": depth,
+                "referrer": referrer, "fetched": False, "status": "queued",
+                "wave": self.wave, "host_bucket": 0,
+                "is_seed_chain": is_seed_chain, "state": None}
+
+    # ------------------------------------------------------------------- seed
+    def seed(self, urls: Optional[List[str]] = None) -> None:
+        """Enqueue seed URL(s) — crawler.start() :646-674."""
+        rows, seen = [], set()
+        for u in (urls or [self.config.initial_url]):
+            it = process_url(u, None, 0, self.config.url_options(),
+                             initial_url=self.config.initial_url)
+            if it is None or it["url"] in seen:
+                continue
+            seen.add(it["url"])
+            rows.append(self._item_row(it, self.next_id + len(rows), 1, "",
+                                       self.next_id + len(rows) == 0))
+        df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA) \
+            .withColumn("host_bucket", self._host_bucket_col())
+        if self.frontier is None:
+            self.next_id += len(rows)
+            self.queued_count = (self.queued_count or 0) + len(rows)
+            self.frontier = self._commit(df.select(
+                *[f.name for f in FRONTIER_SCHEMA.fields]))
+        else:
+            df = df.join(self.frontier.select("url"), "url", "left_anti") \
+                   .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            n = df.count()
+            self.next_id += n
+            self.queued_count = (self.queued_count or 0) + n
+            self.frontier = self._commit(self.frontier.unionByName(df))
+
+    def queue_url(self, url: str, referrer: Optional[dict] = None) -> None:
+        """Manual enqueue between waves (queueURL API, crawler.ts:1483)."""
+        ref_url = referrer["url"] if referrer else None
+        ref_depth = referrer["depth"] if referrer else 0
+        it = process_url(url, ref_url, ref_depth, self.config.url_options(),
+                         initial_url=self.config.initial_url)
+        if it is None:
+            return
+        df = self.spark.createDataFrame(
+            [self._item_row(it, self.next_id, it["depth"], ref_url or "", False)],
+            FRONTIER_SCHEMA).withColumn("host_bucket", self._host_bucket_col())
+        df = df.join(self.frontier.select("url"), "url", "left_anti") \
+               .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        added = df.count()
+        if added:
+            self.next_id += added
+            self.queued_count = (self.queued_count or 0) + added
+            self.frontier = self._commit(self.frontier.unionByName(df))
+            self._count("queueadd", added)
+        else:
+            self._count("queueduplicate", 1)
+
+    # ------------------------------------------------------------ robots (S3)
+    def _fetch_robots_body(self, robots_url: str, hops: int = 0) -> Optional[str]:
+        """Simulated getRobotsTxt (crawler.ts:1368-1473): lookup the pages
+        table, follow redirects (domain-gated), unzip + decode."""
+        from ..functions.filters import DomainRules, domain_valid
+        if hops > 5:
+            return None
+        rows = self.pages.filter(F.col("url") == robots_url).collect()
+        if not rows:
+            return None
+        r = rows[0]
+        code = r["status"]
+        if 200 <= code < 300:
+            body = bytes(r["html"]) if r["html"] is not None else b""
+            enc = r["content_encoding"] or ""
+            if "gzip" in enc or "deflate" in enc:
+                out, err = unzip(body)
+                if err:
+                    return None
+                body = out
+            return decode_buffer(body, r["content_type"] or "")
+        if 300 <= code < 400 and r["location"]:
+            from ..functions.uriref import Uri
+            try:
+                target = Uri(r["location"]).absolute_to(robots_url).normalize()
+            except Exception:
+                return None
+            rules = DomainRules(host=self.crawl_host,
+                                filter_by_domain=self.config.filter_by_domain,
+                                ignore_www_domain=self.config.ignore_www_domain,
+                                scan_subdomains=self.config.scan_subdomains,
+                                domain_whitelist=list(self.config.domain_whitelist))
+            if not domain_valid(target.hostname(), rules):
+                return None
+            return self._fetch_robots_body(target.href(), hops + 1)
+        return None
+
+    def _robots_from_triggers(self, triggers: List[tuple]) -> List[dict]:
+        """Per new host origin (touch order = trigger id order): fetch+parse
+        robots.txt, emit sitemap candidates (crawler.ts:1296-1335).
+
+        ``triggers``: (id, depth, url, protocol, host, port) of the first due
+        item per origin."""
+        candidates: List[dict] = []
+        for (tid, tdepth, turl, proto, host, port) in sorted(triggers):
+            origin = _origin_url(proto, host, port)
+            if not self.robots.touch(origin):
+                continue
+            robots_url = origin + "/robots.txt"
+            body = self._fetch_robots_body(robots_url)
+            if body is None:
+                self._count("robotstxterror", 1)
+                continue
+            rf = parse_robots(robots_url, body)
+            self.robots.add(rf)
+            robots_item = process_url(robots_url, turl, tdepth,
+                                      self.config.url_options())
+            if robots_item is None:
+                continue
+            for k, sm in enumerate(rf.sitemaps):
+                candidates.append({
+                    "raw_url": sm, "referrer_id": tid,
+                    "pos": -1_000_000 + k, "referrer_url": robots_item["url"],
+                    "referrer_depth": robots_item["depth"],
+                    "is_seed_chain": False, "skip_depth_gate": True,
+                })
+        return candidates
+
+    # ------------------------------------------------- due selection (C1/Q5)
+    def _due_driver_path(self, due_all: DataFrame):
+        """Collect the due set once; robots gating + fetch log driver-side.
+        One Spark job regardless of how many gates apply."""
+        rows = due_all.collect()
+        triggers = {}
+        for r in rows:
+            key = (r["protocol"], r["host"], r["port"])
+            if key not in triggers or r["id"] < triggers[key][0]:
+                triggers[key] = (r["id"], r["depth"], r["url"],
+                                 r["protocol"], r["host"], r["port"])
+        sitemap_candidates = self._robots_from_triggers(list(triggers.values())) \
+            if self.config.respect_robots_txt else []
+        if self.config.respect_robots_txt and self.robots.files:
+            ok_rows = [r for r in rows if self.robots.url_is_allowed(r["url"])]
+            dis_rows = [r for r in rows if not self.robots.url_is_allowed(r["url"])]
+        else:
+            ok_rows, dis_rows = list(rows), []
+        for r in sorted(ok_rows, key=lambda x: x["id"]):
+            self.fetch_log.append((self.wave, r["id"], r["url"]))
+        due = self.spark.createDataFrame(ok_rows, FRONTIER_SCHEMA)
+        due_dis = (self.spark.createDataFrame(dis_rows, FRONTIER_SCHEMA)
+                   if dis_rows else None)
+        return due, due_dis, len(dis_rows), sitemap_candidates
+
+    def _due_distributed_path(self, due_all: DataFrame):
+        """Scale path: robots verdicts in an Arrow pass; due set never hits
+        the driver. The trigger aggregation is one small job per wave."""
+        due_all = due_all.repartition(
+            self.spark.sparkContext.defaultParallelism, "host_bucket", "id")
+        sitemap_candidates: List[dict] = []
+        if self.config.respect_robots_txt:
+            trig = (due_all.groupBy("protocol", "host", "port")
+                    .agg(F.min(F.struct("id", "depth", "url")).alias("t"))
+                    .select("t.id", "t.depth", "t.url", "protocol", "host", "port")
+                    .collect())
+            sitemap_candidates = self._robots_from_triggers(
+                [tuple(r) for r in trig])
+        if not (self.config.respect_robots_txt and self.robots.files):
+            return due_all, None, 0, sitemap_candidates
+        store = self.robots
+
+        def check(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["robots_ok"] = [store.url_is_allowed(u) for u in pdf["url"]]
+                yield pdf
+
+        schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                           for f in due_all.schema.fields) + ", robots_ok boolean"
+        checked = due_all.mapInPandas(check, schema).persist()
+        due = checked.filter("robots_ok").drop("robots_ok")
+        due_dis = checked.filter("NOT robots_ok").drop("robots_ok")
+        n_dis = due_dis.count()
+        return due, (due_dis if n_dis else None), n_dis, sitemap_candidates
+
+    # -------------------------------------------------------------- main loop
+    def run(self, max_waves: Optional[int] = None) -> DataFrame:
+        if self.frontier is None:
+            self.seed()
+        limit = max_waves if max_waves is not None else self.config.max_waves
+        while self.wave < limit:
+            # Q12 completion — queued count tracked by the driver (no job);
+            # recomputed with a scan only after a resume
+            if self.queued_count is None:
+                self.queued_count = self.frontier \
+                    .filter(F.col("status") == "queued").count()
+            if self.queued_count == 0:
+                break
+            self.run_wave()
+        return self.frontier
+
+    def run_wave(self) -> None:
+        cfg = self.config
+        spark = self.spark
+        frontier = self.frontier
+        wave_events: Dict[str, int] = {}
+
+        def count(name, n):
+            if n:
+                wave_events[name] = wave_events.get(name, 0) + int(n)
+            self._count(name, n)
+
+        due_all = select_due(frontier, cfg.tokens_per_host_per_wave)
+        if cfg.record_fetch_log:
+            due, due_disallowed, n_due_disallowed, sitemap_candidates = \
+                self._due_driver_path(due_all)
+        else:
+            due, due_disallowed, n_due_disallowed, sitemap_candidates = \
+                self._due_distributed_path(due_all)
+        count("fetchdisallowed", n_due_disallowed)
+
+        # ------------------------------------------------ fetch: join pages (S1)
+        pages = self.pages.select(
+            F.col("url"),
+            F.col("status").alias("_code"), F.col("html"),
+            F.col("content_type").alias("_ctype"),
+            F.col("content_encoding").alias("_cenc"),
+            F.col("content_length").alias("_clen"),
+            F.col("location").alias("_location"),
+            F.col("set_cookie").alias("_set_cookie"),
+            F.col("etag").alias("_etag"),
+            F.col("last_modified").alias("_lastmod"),
+            F.col("hang").alias("_hang"))
+        resp = due.join(pages, "url", "left")
+        if self.cache is not None:
+            cache = self.cache.select(
+                "url", F.col("etag").alias("_cached_etag"),
+                F.col("last_modified").alias("_cached_lastmod"))
+            cond_304 = ((F.col("_cached_etag").isNotNull()
+                         & (F.col("_cached_etag") == F.col("_etag")))
+                        | (F.col("_cached_lastmod").isNotNull()
+                           & (F.col("_cached_lastmod") == F.col("_lastmod"))))
+            resp = (resp.join(cache, "url", "left")
+                    .withColumn("_code",
+                                F.when(F.col("_code").between(200, 299) & cond_304,
+                                       F.lit(304)).otherwise(F.col("_code")))
+                    .drop("_cached_etag", "_cached_lastmod"))
+        # missing page ⇒ testserver-style 404 (testserver.ts:66-71)
+        resp = resp.withColumn("_code", F.coalesce(F.col("_code"), F.lit(404))) \
+                   .withColumn("_hang", F.coalesce(F.col("_hang"), F.lit(False)))
+
+        mime_ok = F.col("_ctype").isNotNull() & F.col("_ctype").rlike(SUPPORTED_MIME_RLIKE)
+        is2xx = F.col("_code").between(200, 299)
+        oversize = F.coalesce(F.col("_clen") > cfg.max_resource_size, F.lit(False))
+
+        # download conditions (P9): after headers, only on 2xx, never on 404
+        # (conditions.integration.spec.ts:438-458)
+        if cfg.download_conditions:
+            conds = cfg.download_conditions
+
+            def dl_check(batches):
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    oks, errs = [], []
+                    for url, depth, code, ctype in zip(
+                            pdf["url"], pdf["depth"], pdf["_code"], pdf["_ctype"]):
+                        ok, err = True, False
+                        if 200 <= code < 300:
+                            item = {"url": url, "depth": depth, "code": code,
+                                    "content_type": ctype}
+                            for c in conds:
+                                try:
+                                    if not c(item):
+                                        ok = False
+                                        break
+                                except Exception:
+                                    err, ok = True, False
+                                    break
+                        oks.append(ok)
+                        errs.append(err)
+                    pdf["_dl_ok"] = oks
+                    pdf["_dl_err"] = errs
+                    yield pdf
+
+            schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                               for f in resp.schema.fields) \
+                + ", _dl_ok boolean, _dl_err boolean"
+            resp = resp.mapInPandas(dl_check, schema)
+        else:
+            resp = resp.withColumn("_dl_ok", F.lit(True)) \
+                       .withColumn("_dl_err", F.lit(False))
+
+        # ------------------------------------------- S2 status branching
+        new_status = (
+            F.when(F.col("_hang"), F.lit("timeout"))
+             .when(oversize, F.lit("spooled"))                   # fetchdataerror
+             .when(is2xx & F.col("_dl_err"), F.lit("spooled"))   # downloadconditionerror
+             .when(is2xx & ~F.col("_dl_ok"), F.lit("downloadprevented"))
+             .when(is2xx & (mime_ok | F.lit(cfg.download_unsupported)),
+                   F.lit("downloaded"))
+             .when(is2xx, F.lit("headers"))                      # crawler.ts:1873,1883-1898
+             .when(F.col("_code") == 304, F.lit("spooled"))      # 304: fetched only
+             .when(F.col("_code").between(300, 399) & F.col("_location").isNotNull(),
+                   F.lit("redirected"))
+             .when(F.col("_code").isin(404, 410), F.lit("notfound"))
+             .otherwise(F.lit("failed")))
+        # downloadconditionerror leaves the item unfetched (no queue.update in
+        # the error branch, crawler.ts:1855-1858)
+        new_fetched = F.when(is2xx & F.col("_dl_err"), F.lit(False)) \
+                       .otherwise(F.lit(True))
+        headers_map = F.map_filter(
+            F.create_map(
+                F.lit("content-type"), F.col("_ctype"),
+                F.lit("content-encoding"), F.col("_cenc"),
+                F.lit("location"), F.col("_location"),
+                F.lit("set-cookie"), F.col("_set_cookie"),
+                F.lit("etag"), F.col("_etag"),
+                F.lit("last-modified"), F.col("_lastmod")),
+            lambda k, v: v.isNotNull())
+        state = F.struct(
+            F.lit(0).cast("long").alias("request_latency"),
+            F.lit(0).cast("long").alias("request_time"),
+            F.lit(0).cast("long").alias("download_time"),
+            F.coalesce(F.col("_clen"), F.length(F.col("html")).cast("long"),
+                       F.lit(0)).alias("content_length"),
+            F.col("_ctype").alias("content_type"),
+            F.col("_code").cast("int").alias("code"),
+            headers_map.alias("headers"),
+            F.coalesce(F.length(F.col("html")).cast("long"), F.lit(0))
+             .alias("actual_data_size"),
+            F.lit(False).alias("sent_incorrect_size"))
+        resp = (resp.withColumn("_new_status", new_status)
+                    .withColumn("_new_fetched", new_fetched)
+                    .withColumn("_state", state)
+                    .withColumn("_oversize", oversize)
+                    .persist())
+
+        # all wave counters + the wave's Set-Cookie headers in ONE job
+        s = F.col("_new_status")
+        stats = resp.agg(
+            F.count("*").alias("fetchstart"),
+            F.count_if(s == "downloaded").alias("downloaded"),
+            F.count_if(s == "notfound").alias("notfound"),
+            F.count_if(s == "redirected").alias("redirected"),
+            F.count_if(s == "timeout").alias("timeout"),
+            F.count_if(s == "failed").alias("failed"),
+            F.count_if(s == "downloadprevented").alias("downloadprevented"),
+            F.count_if(F.col("_oversize")).alias("fetchdataerror"),
+            F.count_if(F.col("_code") == 304).alias("notmodified"),
+            F.count_if(F.coalesce(F.col("_cenc"), F.lit(""))
+                       .rlike(_COMPRESSED_RLIKE)).alias("_n_compressed"),
+            F.collect_list(F.when(~F.col("_hang"), F.col("_set_cookie")))
+             .alias("_cookies"),
+        ).collect()[0].asDict()
+        set_cookies = stats.pop("_cookies")
+        n_compressed = stats.pop("_n_compressed")
+        for k, v in stats.items():
+            count(k, v)
+        if cfg.accept_cookies and set_cookies:
+            count("cookieerror", len(self.jar.add_from_headers(set_cookies)))
+
+        # ------------------------------------ body pipeline (T1/T2/D1-D3)
+        bodies = None
+        if stats["downloaded"]:
+            dl = resp.filter(F.col("_new_status") == "downloaded") \
+                     .withColumn("do_discover", mime_ok)
+            body_in = dl.select("id", "url", "protocol", "html",
+                                F.col("_ctype").alias("content_type"),
+                                F.col("_cenc").alias("content_encoding"),
+                                "do_discover")
+            bodies = body_in.mapInPandas(make_body_processor(cfg), BODY_SCHEMA)
+            if self.keep_content:
+                content = (bodies.join(dl.select("id", "url", "depth"), "id")
+                           .select("id", "url", "depth", "body", "text",
+                                   "extracted_text", "gzip_error", "discovered",
+                                   F.lit(self.wave).alias("wave"))
+                           .localCheckpoint(eager=True))
+                self._content_parts.append(content.drop("discovered"))
+                bodies = content  # reuse the materialized fragment
+            else:
+                bodies = bodies.persist()
+            if n_compressed:
+                count("gziperror", bodies.filter("gzip_error").count())
+
+        # ---------------------------------------- candidates (D4/R1/S3)
+        cand_parts = []
+        if bodies is not None:
+            ref_info = resp.filter(F.col("_new_status") == "downloaded") \
+                .select("id", F.col("url").alias("_purl"),
+                        F.col("depth").alias("_pdepth"))
+            discovered = (bodies.select("id", "discovered").join(ref_info, "id")
+                          .select(F.col("id").alias("referrer_id"),
+                                  F.posexplode("discovered").alias("pos", "raw_url"),
+                                  F.col("_purl").alias("referrer_url"),
+                                  F.col("_pdepth").alias("referrer_depth"))
+                          .withColumn("pos", F.col("pos").cast("long"))
+                          .withColumn("is_seed_chain", F.lit(False))
+                          .withColumn("skip_depth_gate", F.lit(False))
+                          .select(*[f.name for f in CANDIDATE_SCHEMA.fields]))
+            cand_parts = [discovered]
+        if stats["redirected"]:
+            redirects = (resp.filter(F.col("_new_status") == "redirected")
+                         .select(F.col("_location").alias("raw_url"),
+                                 F.col("id").alias("referrer_id"),
+                                 F.lit(0).cast("long").alias("pos"),
+                                 F.col("url").alias("referrer_url"),
+                                 F.col("depth").alias("referrer_depth"),
+                                 F.col("is_seed_chain"),
+                                 F.lit(True).alias("skip_depth_gate")))
+            if not self.first_request_active:
+                redirects = redirects.withColumn("is_seed_chain", F.lit(False))
+            cand_parts.append(redirects)
+        # P11: seed-chain bookkeeping (crawler.ts:1899,1925,1947-1953,1984,2002)
+        if self.first_request_active:
+            for r in resp.filter(F.col("is_seed_chain")) \
+                         .select("url", "_new_status", "_location").collect():
+                if r["_new_status"] == "redirected":
+                    tgt = process_url(r["_location"], r["url"], 0,
+                                      cfg.url_options())
+                    if tgt is not None and cfg.allow_initial_domain_change:
+                        self.crawl_host = tgt["host"]
+                else:
+                    self.first_request_active = False
+        if sitemap_candidates:
+            cand_parts.append(
+                spark.createDataFrame(sitemap_candidates, CANDIDATE_SCHEMA))
+
+        n_new = 0
+        new_rows = None
+        processed = None
+        if cand_parts:
+            candidates = cand_parts[0]
+            for p in cand_parts[1:]:
+                candidates = candidates.unionByName(p)
+            processed = candidates.mapInPandas(
+                make_candidate_processor(cfg, self.robots.files, self.crawl_host),
+                PROCESSED_CANDIDATE_SCHEMA).persist()
+            n_cand = 0
+            for r in processed.groupBy("reject_reason").count().collect():
+                if r["reject_reason"] is None:
+                    n_cand = r["count"]
+                else:
+                    count({"junk": "junkurl", "invaliddomain": "invaliddomain",
+                           "fetchdisallowed": "fetchdisallowed",
+                           "fetchprevented": "fetchprevented",
+                           "fetchconditionerror": "fetchconditionerror",
+                           "depthlimit": "depthlimit"}[r["reject_reason"]],
+                          r["count"])
+            if n_cand:
+                accepted = processed.filter(F.col("reject_reason").isNull())
+                # within-wave ordered dedupe + seen-set anti-join (Q1/Q2/D3)
+                w = Window.partitionBy("url").orderBy("referrer_id", "pos")
+                first_seen = accepted.withColumn(
+                    "__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+                fresh = first_seen.join(frontier.select("url"), "url", "left_anti")
+                with_ids = assign_dense_ids(fresh, ["referrer_id", "pos"],
+                                            self.next_id, count_hint=n_cand)
+                n_new = with_ids.count()
+                count("queueadd", n_new)
+                count("queueduplicate", n_cand - n_new)
+                self.next_id += n_new
+                new_rows = with_ids.select(
+                    "id", "url", "protocol", "host",
+                    F.col("port").cast("int").alias("port"), "path", "uri_path",
+                    F.col("depth").cast("int").alias("depth"),
+                    F.col("referrer_url").alias("referrer"),
+                    F.lit(False).alias("fetched"), F.lit("queued").alias("status"),
+                    F.lit(self.wave + 1).cast("int").alias("wave"),
+                    self._host_bucket_col(), "is_seed_chain",
+                    F.lit(None).cast(FRONTIER_SCHEMA["state"].dataType).alias("state"))
+
+        # ------------------------------------------------ frontier MERGE (Q4)
+        outcome = resp.select(
+            "id", "url", "protocol", "host", "port", "path", "uri_path", "depth",
+            "referrer", F.col("_new_fetched").alias("fetched"),
+            F.col("_new_status").alias("status"), "wave", "host_bucket",
+            "is_seed_chain", F.col("_state").alias("state"))
+        if due_disallowed is not None:
+            outcome = outcome.unionByName(due_disallowed.select(
+                "id", "url", "protocol", "host", "port", "path", "uri_path",
+                "depth", "referrer", F.lit(True).alias("fetched"),
+                F.lit("disallowed").alias("status"), "wave", "host_bucket",
+                "is_seed_chain", "state"))
+
+        untouched = frontier.join(outcome.select("id"), "id", "left_anti")
+        next_frontier = untouched.unionByName(outcome)
+        if new_rows is not None:
+            next_frontier = next_frontier.unionByName(new_rows)
+        next_frontier = next_frontier.select(
+            *[f.name for f in FRONTIER_SCHEMA.fields])
+
+        self.wave += 1
+        self.frontier = self._commit(next_frontier)
+        n_due_total = stats["fetchstart"] + n_due_disallowed
+        if self.queued_count is not None:
+            self.queued_count = self.queued_count - n_due_total + n_new
+        wave_events["wave"] = self.wave - 1
+        self.metrics.append(wave_events)
+        if self.store is not None:
+            self.store.record_lineage(self.wave - 1, self.frontier, wave_events)
+        resp.unpersist()
+        if processed is not None:
+            processed.unpersist()
