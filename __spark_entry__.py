@@ -1,38 +1,509 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (crawl-frontier
+semantics) or a training-data pipeline op (dedup / similarity / text
+analysis / multimodal), run over the driver's testdata tables; the matching
+``oracle_sql()`` is the ANSI-SQL twin DuckDB executes on the same parquet.
+
+Conventions for hash-stable comparisons:
+- every computed column is aliased identically on both sides;
+- integer-ish columns are BIGINT on both sides (Spark ints are cast);
+- float outputs are either single-division results (bit-identical IEEE on
+  both engines) or explicitly rounded; similarity ranks are compared
+  instead of raw cosine values.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from simplecrawler_spark.operators import textpipe as tp
+from simplecrawler_spark.operators.multimodal import image_features
+from simplecrawler_spark.operators.similarity import cosine_topk
+
+# deterministic hyperplanes for the LSH ANN variant (±1 from md5 bits)
+import hashlib
 
 
+def _planes(n_planes: int = 4, dim: int = 64):
+    planes = []
+    for p in range(n_planes):
+        h = hashlib.md5(f"plane:{p}".encode()).digest() * 4  # 64 bytes
+        planes.append([1.0 if (h[i] & 1) else -1.0 for i in range(dim)])
+    return planes
+
+
+PLANES = _planes()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- crawl
+def q_fifo_politeness(spark, sf_dir):
+    """C1/Q5: FIFO due-selection with a per-host token budget (3/wave) over
+    a frontier derived from the events table."""
+    frontier = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias("host"))
+    w = Window.partitionBy("host").orderBy("id")
+    return (frontier.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 3)
+            .select("id", "host", "rk"))
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """Q1/Q2: URL-seen dedupe — candidate URLs anti-joined against the seen
+    set (exact path of the Bloom-prefiltered check)."""
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(F.lit("http://h"), (F.col("user_id") % 23).cast("string"),
+                   F.lit(".test/p/"), (F.col("event_id") % 500).cast("string"))
+    cand = ev.filter("event_type = 'click'").select(url.alias("url")).distinct()
+    seen = ev.filter("event_type = 'view'").select(url.alias("url")).distinct()
+    return cand.join(seen, "url", "left_anti")
+
+
+def q_canonicalize(spark, sf_dir):
+    """P1/P2: cleanURL + processURL canonicalization (lowercase scheme/host,
+    default-port strip, fragment strip, sorted query keys with duplicate
+    value order preserved) via the exactness kernels in an Arrow pass."""
+    from simplecrawler_spark.functions.urlkit import (UrlOptions, clean_url,
+                                                      process_url)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("HTTP://WWW.Example"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".COM:80/Path"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit("/page?b=2&a=1&a=3#frag")).alias("raw_url"))
+    opts = UrlOptions(sort_query_parameters=True)
+
+    def canon(batches):
+        for pdf in batches:
+            out_urls = []
+            for raw in pdf["raw_url"]:
+                cleaned = clean_url(raw, "http")
+                item = process_url(cleaned, None, 0, opts, initial_url=cleaned)
+                out_urls.append(item["url"] if item else None)
+            pdf = pdf[["doc_id"]].copy()
+            pdf["url"] = out_urls
+            yield pdf
+
+    return docs.mapInPandas(canon, "doc_id long, url string")
+
+
+def q_discovery(spark, sf_dir):
+    """D1-D3: regex link discovery + clean/absolutize/ordered-dedupe via the
+    discovery kernels, over synthetic HTML."""
+    from simplecrawler_spark.functions.decode import protocol_supported
+    from simplecrawler_spark.functions.discovery import (
+        clean_expand_resources, discover_resources)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('<p>x</p><a href="/p/'), F.col("doc_id").cast("string"),
+                 F.lit('">l</a> <img src="http://img.test/i'),
+                 (F.col("doc_id") % 9).cast("string"),
+                 F.lit('.png"> <a href="/p/'), F.col("doc_id").cast("string"),
+                 F.lit('">dup</a>')).alias("html"),
+        F.concat(F.lit("http://site.test/d/"),
+                 F.col("doc_id").cast("string")).alias("page_url"))
+
+    def disc(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "url": []}
+            for doc_id, html, page_url in zip(pdf["doc_id"], pdf["html"],
+                                              pdf["page_url"]):
+                found = discover_resources(html)
+                urls = clean_expand_resources(found, page_url, "http",
+                                              protocol_supported)
+                for i, u in enumerate(urls):
+                    rows["doc_id"].append(doc_id)
+                    rows["pos"].append(i)
+                    rows["url"].append(u)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(disc, "doc_id long, pos long, url string")
+
+
+def q_robots_filter(spark, sf_dir):
+    """P6: robots.txt allow/deny evaluation (prefix + $-anchored wildcard
+    rules) via the robots-parser-compatible kernel."""
+    from simplecrawler_spark.functions.robots import parse_robots
+    rf = parse_robots("http://site.test/robots.txt",
+                      "User-agent: *\nDisallow: /p3\nDisallow: /p7$\n")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("http://site.test/p"),
+                 (F.col("event_id") % 10).cast("string")).alias("url"))
+
+    def check(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["allowed"] = [bool(rf.is_allowed(u, "*")) for u in pdf["url"]]
+            yield pdf
+
+    return ev.mapInPandas(check, "event_id long, url string, allowed boolean")
+
+
+def q_status_branch(spark, sf_dir):
+    """S2: handleResponse status branching (2xx/304/3xx+location/404/410/
+    else-failed) as one JVM projection."""
+    ev = _t(spark, sf_dir, "events")
+    code = F.element_at(F.array(*[F.lit(c) for c in
+                                  (200, 304, 301, 404, 410, 500, 503)]),
+                        (F.col("event_id") % 7 + 1).cast("int")).cast("long")
+    loc = F.when(code == 301, F.lit("/next"))
+    status = (F.when(code.between(200, 299), "downloaded")
+               .when(code == 304, "spooled")
+               .when(code.between(300, 399) & loc.isNotNull(), "redirected")
+               .when(code.isin(404, 410), "notfound")
+               .otherwise("failed"))
+    return ev.select("event_id", code.alias("code"), status.alias("status"))
+
+
+def q_depth_gate(spark, sf_dir):
+    """P7: maxDepth enqueue gate (maxDepth=3; referrer depth+1 must fit)."""
+    ev = _t(spark, sf_dir, "events")
+    depth = (F.col("event_id") % 6 + 1).cast("long")
+    return (ev.select("event_id", depth.alias("depth"))
+            .filter(F.col("depth") + 1 <= 3))
+
+
+def q_queue_stats(spark, sf_dir):
+    """Q6-Q8/Q9: queue statistics (min/max/avg/count) grouped by type."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value"),
+                 F.round(F.avg("value"), 6).alias("avg_value"))
+            )
+
+
+# ----------------------------------------------------------- dedup families
+def q_exact_dup_groups(spark, sf_dir):
+    return tp.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_dedupe_keep_first(spark, sf_dir):
+    return tp.dedupe_keep_first(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "lang", "source")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return tp.minhash_signatures(_t(spark, sf_dir, "documents"),
+                                 num_hashes=8, n=5, prefix_len=100) \
+        .select("doc_id", F.col("h").cast("long").alias("h"), "minhash")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    sig = tp.minhash_signatures(_t(spark, sf_dir, "documents"),
+                                num_hashes=8, n=5, prefix_len=100)
+    return tp.minhash_candidate_pairs(tp.minhash_bands(sig, rows_per_band=4))
+
+
+def q_simhash(spark, sf_dir):
+    return tp.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    small = docs.filter("doc_id < 20")
+    a = small.select(F.col("doc_id").alias("doc_a"))
+    b = small.select(F.col("doc_id").alias("doc_b"))
+    pairs = a.crossJoin(b).filter("doc_a < doc_b")
+    return tp.jaccard_pairs(small, pairs, prefix_len=100, n=5)
+
+
+def q_fingerprint(spark, sf_dir):
+    return tp.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------- text analysis
+def q_token_stats(spark, sf_dir):
+    return tp.token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chars_per_token", "punct_ratio")
+
+
+def q_quality(spark, sf_dir):
+    return tp.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio", "quality")
+
+
+def q_lang_id(spark, sf_dir):
+    return tp.lang_id(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------- similarity search
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return (cosine_topk(emb, q, k=5)
+            .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
+
+
+def q_ann_lsh(spark, sf_dir):
+    """IVF/LSH-style scale path: hyperplane-sign buckets, join on bucket.
+    No SQL oracle (rows-only check) — recall tested vs brute force in
+    tests/test_textpipe.py instead."""
+    from simplecrawler_spark.operators.similarity import cosine_topk_lsh
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return (cosine_topk_lsh(emb, q, PLANES, k=5)
+            .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
+
+
+# ----------------------------------------------------------------- multimodal
+def q_multimodal_features(spark, sf_dir):
+    return image_features(_t(spark, sf_dir, "documents"))
+
+
+# ============================================================ driver contract
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: FIFO politeness wave selection at sf0.001."""
+    return q_fifo_politeness(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "fifo_politeness": q_fifo_politeness,
+        "seen_antijoin": q_seen_antijoin,
+        "canonicalize": q_canonicalize,
+        "discovery": q_discovery,
+        "robots_filter": q_robots_filter,
+        "status_branch": q_status_branch,
+        "depth_gate": q_depth_gate,
+        "queue_stats": q_queue_stats,
+        "exact_dup_groups": q_exact_dup_groups,
+        "dedupe_keep_first": q_dedupe_keep_first,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+_LANG_VALUES = ", ".join(
+    "('%s', [%s], %d)" % (code, ", ".join(f"'{w}'" for w in words), pri)
+    for pri, (code, words) in enumerate(sorted(tp.LANG_STOPWORDS.items())))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "fifo_politeness": """
+            SELECT id, host, rk FROM (
+              SELECT event_id AS id,
+                     'h' || (user_id % 23) AS host,
+                     row_number() OVER (PARTITION BY 'h' || (user_id % 23)
+                                        ORDER BY event_id) AS rk
+              FROM events)
+            WHERE rk <= 3
+        """,
+        "seen_antijoin": """
+            WITH u AS (SELECT event_type,
+                              'http://h' || (user_id % 23) || '.test/p/' ||
+                              (event_id % 500) AS url FROM events),
+            cand AS (SELECT DISTINCT url FROM u WHERE event_type = 'click'),
+            seen AS (SELECT DISTINCT url FROM u WHERE event_type = 'view')
+            SELECT url FROM cand
+            WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = cand.url)
+        """,
+        "canonicalize": """
+            SELECT doc_id,
+                   'http://www.example' || (doc_id % 50) || '.com/Path' ||
+                   (doc_id % 7) || '/page?a=1&a=3&b=2' AS url
+            FROM documents
+        """,
+        "discovery": """
+            SELECT doc_id, 0::BIGINT AS pos,
+                   'http://site.test/p/' || doc_id AS url FROM documents
+            UNION ALL
+            SELECT doc_id, 1::BIGINT AS pos,
+                   'http://img.test/i' || (doc_id % 9) || '.png' AS url
+            FROM documents
+        """,
+        "robots_filter": """
+            SELECT event_id,
+                   'http://site.test/p' || (event_id % 10) AS url,
+                   NOT ((event_id % 10) = 3 OR (event_id % 10) = 7) AS allowed
+            FROM events
+        """,
+        "status_branch": """
+            SELECT event_id, code,
+                   CASE WHEN code BETWEEN 200 AND 299 THEN 'downloaded'
+                        WHEN code = 304 THEN 'spooled'
+                        WHEN code = 301 THEN 'redirected'
+                        WHEN code IN (404, 410) THEN 'notfound'
+                        ELSE 'failed' END AS status
+            FROM (SELECT event_id,
+                         ([200,304,301,404,410,500,503])[(event_id % 7) + 1]::BIGINT
+                         AS code FROM events)
+        """,
+        "depth_gate": """
+            SELECT event_id, (event_id % 6 + 1)::BIGINT AS depth FROM events
+            WHERE (event_id % 6 + 1) + 1 <= 3
+        """,
+        "queue_stats": """
+            SELECT event_type, count(*) AS n,
+                   min(value) AS min_value, max(value) AS max_value,
+                   round(avg(value), 6)::DOUBLE AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "exact_dup_groups": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedupe_keep_first": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn = 1
+        """,
+        "minhash_signatures": """
+            WITH p AS (SELECT doc_id, substr(text, 1, 100) AS pre
+                       FROM documents WHERE length(substr(text, 1, 100)) >= 5),
+            sh AS (SELECT doc_id, substr(pre, g, 5) AS shingle
+                   FROM (SELECT doc_id, pre,
+                                unnest(generate_series(1, length(pre) - 4)) AS g
+                         FROM p)),
+            hv AS (SELECT doc_id, h,
+                          ('0x' || substr(md5(shingle || ':' || h), 1, 15))::BIGINT AS v
+                   FROM sh, generate_series(0, 7) t2(h))
+            SELECT doc_id, h, min(v) AS minhash FROM hv GROUP BY doc_id, h
+        """,
+        "minhash_pairs": """
+            WITH p AS (SELECT doc_id, substr(text, 1, 100) AS pre
+                       FROM documents WHERE length(substr(text, 1, 100)) >= 5),
+            sh AS (SELECT doc_id, substr(pre, g, 5) AS shingle
+                   FROM (SELECT doc_id, pre,
+                                unnest(generate_series(1, length(pre) - 4)) AS g
+                         FROM p)),
+            hv AS (SELECT doc_id, h,
+                          ('0x' || substr(md5(shingle || ':' || h), 1, 15))::BIGINT AS v
+                   FROM sh, generate_series(0, 7) t2(h)),
+            sig AS (SELECT doc_id, h, min(v) AS minhash FROM hv GROUP BY doc_id, h),
+            bands AS (SELECT doc_id, h // 4 AS band,
+                             md5(string_agg(h || ':' || minhash, ','
+                                            ORDER BY h || ':' || minhash)) AS band_key
+                      FROM sig GROUP BY doc_id, h // 4)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band, band_key)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "simhash": """
+            WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+            hv AS (SELECT doc_id,
+                          ('0x' || substr(md5(tok), 1, 15))::BIGINT AS v FROM toks),
+            votes AS (SELECT doc_id, b,
+                             sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                      FROM hv, generate_series(0, 15) t(b) GROUP BY doc_id, b)
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                   AS simhash
+            FROM votes GROUP BY doc_id
+        """.replace("{toks}", _TOKS),
+        "jaccard_pairs": """
+            WITH d AS (SELECT doc_id, substr(text, 1, 100) AS pre
+                       FROM documents WHERE doc_id < 20),
+            sh AS (SELECT DISTINCT doc_id, substr(pre, g, 5) AS shingle
+                   FROM (SELECT doc_id, pre,
+                                unnest(generate_series(1, length(pre) - 4)) AS g
+                         FROM d WHERE length(pre) >= 5)),
+            s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                         AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+                   coalesce(i, 0) / (sa.n + sb.n - coalesce(i, 0)) AS jaccard
+            FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id
+            LEFT JOIN inter ON inter.doc_a = sa.doc_id AND inter.doc_b = sb.doc_id
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   AS fingerprint
+            FROM documents
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars_actual,
+                   len({toks})::BIGINT AS n_tokens,
+                   length(text) / greatest(len({toks}), 1) AS chars_per_token,
+                   length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                     / greatest(length(text), 1)::DOUBLE AS punct_ratio
+            FROM documents
+        """.replace("{toks}", _TOKS),
+        "quality": """
+            WITH t AS (SELECT doc_id, lang, length(text) AS n_char,
+                              {toks} AS toks,
+                              ['the','a','of','and','to','in','is','that','for','with']
+                              AS sw
+                       FROM documents)
+            SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+                   len(list_intersect(toks, sw))
+                     / greatest(len(toks), 1)::DOUBLE AS stopword_ratio,
+                   (len(list_intersect(toks, sw))
+                     / greatest(len(toks), 1)::DOUBLE) * 0.5
+                   + least(n_char / 500.0, 1.0) * 0.5 AS quality
+            FROM t
+        """.replace("{toks}", _TOKS),
+        "lang_id": """
+            WITH t AS (SELECT doc_id, lang AS lang_true, {toks} AS toks
+                       FROM documents),
+            scores AS (SELECT doc_id, lang_true, s.code,
+                              len(list_intersect(toks, s.words)) AS score, s.pri
+                       FROM t, (VALUES {langs}) s(code, words, pri))
+            SELECT doc_id, lang_true, code AS lang_pred FROM scores
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, pri ASC) = 1
+        """.replace("{toks}", _TOKS).replace("{langs}", _LANG_VALUES),
+        "ann_topk": """
+            SELECT q_id, vec_id, rank FROM (
+              SELECT q.vec_id AS q_id, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                DESC, e.vec_id)::BIGINT AS rank
+              FROM embeddings q, embeddings e
+              WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+            WHERE rank <= 5
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   md5(text) AS payload_hash,
+                   ((octet_length(encode(text)) % 64) + 1)::INT AS fake_width,
+                   ((('0x' || substr(md5(text), 1, 2))::INT % 64) + 1)::INT
+                     AS fake_height,
+                   ('0x' || substr(md5(text), 3, 4))::INT / 65535.0 AS fake_mean
+            FROM documents
+        """,
+    }

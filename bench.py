@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus a synthetic
+crawl-wave benchmark (deterministic CC-style pages table with a power-law
+host distribution — the north_rule workload), then print ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "crawl_urls_per_sec": ...}
+
+--scaling mode: re-invoke this script at 8 and 32 cores on the same input
+and write throughput + scaling efficiency to BENCH/BASELINE.md (the
+sandbox's stand-in for the N→4N-executor criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = ["fifo_politeness", "seen_antijoin", "canonicalize", "minhash_pairs",
+            "simhash", "ann_topk", "token_stats", "multimodal_features"]
+
+# crawl bench scale (rows ~ linear in sf)
+N_PAGES_PER_SF = 2_000_000        # sf0.1 → 200k pages
+N_HOSTS_FRAC = 0.02               # hosts = 2% of pages (power-law skewed)
+SEED_FRAC = 0.1                   # 10% of pages seeded into wave 0
+N_WAVES = 4
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def make_session(cpus: int):
+    from pyspark.sql import SparkSession
+    os.environ.setdefault("PYARROW_IGNORE_TIMEZONE", "1")
+    return (SparkSession.builder
+            .master(f"local[{cpus}]")
+            .appName("simplecrawler-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+            .config("spark.default.parallelism", str(cpus))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.driver.memory", "12g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def synth_pages(spark, n_pages: int, n_hosts: int, links_per_page: int = 6):
+    """Deterministic CC-style pages table with power-law hosts.
+
+    host(id) = floor(u(id)^3 * n_hosts) with u = uniform hash — host 0 ends
+    up ~10x hotter than the median host, exercising skew handling."""
+    from pyspark.sql import functions as F
+
+    def host_of(idcol):
+        u = (F.abs(F.xxhash64(idcol.cast("string"))) % 1_000_003) / 1_000_003.0
+        return F.floor(F.pow(u, 3.0) * n_hosts).cast("long")
+
+    df = spark.range(n_pages).withColumn("host_id", host_of(F.col("id")))
+    link_parts = []
+    for k in range(links_per_page):
+        tgt = (F.col("id") * 7 + k * 13 + 1) % n_pages
+        tgt_host = host_of(tgt)
+        link_parts.append(
+            F.concat(F.lit("<a href='http://h"), tgt_host.cast("string"),
+                     F.lit(".test/p/"), tgt.cast("string"), F.lit("'>l</a> ")))
+    html = F.concat(F.lit("<html><body>"), *link_parts,
+                    F.lit("</body></html>"))
+    return df.select(
+        F.concat(F.lit("http://h"), F.col("host_id").cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string")).alias("url"),
+        F.lit(200).alias("status"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit("text/html").alias("content_type"),
+        F.lit(None).cast("string").alias("content_encoding"),
+        F.length(html).cast("long").alias("content_length"),
+        F.lit(None).cast("string").alias("location"),
+        F.lit(None).cast("string").alias("set_cookie"),
+        F.lit(None).cast("string").alias("etag"),
+        F.lit(None).cast("string").alias("last_modified"),
+        F.lit(False).alias("hang"),
+        F.col("host_id"), F.col("id").alias("page_id"))
+
+
+def crawl_bench(spark, sf: float):
+    """Wave-engine throughput on the synthetic frontier: URLs processed/sec."""
+    from pyspark.sql import functions as F
+    from simplecrawler_spark.config import CrawlerConfig
+    from simplecrawler_spark.plans.crawl import WaveCrawler
+    from simplecrawler_spark.schema import FRONTIER_SCHEMA
+
+    n_pages = max(int(N_PAGES_PER_SF * sf), 10_000)
+    n_hosts = max(int(n_pages * N_HOSTS_FRAC), 16)
+    n_seeds = max(int(n_pages * SEED_FRAC), 100)
+    pages = synth_pages(spark, n_pages, n_hosts).persist()
+    pages.count()
+
+    cfg = CrawlerConfig(
+        initial_url="http://h0.test/p/0",
+        filter_by_domain=False,          # whole-web crawl
+        respect_robots_txt=False,        # robots side-table path; see store
+        record_fetch_log=False,          # scale path: no driver collects
+        tokens_per_host_per_wave=256,    # politeness budget ON
+        host_buckets=max(CPUS * 4, 64),
+        id_mode="composite")
+    crawler = WaveCrawler(spark, pages.drop("host_id", "page_id"), cfg,
+                          keep_content=False)
+    # seed frontier directly (distributed build, no driver loop)
+    seeds = (pages.filter(F.col("page_id") % int(1 / SEED_FRAC) == 0)
+             .select(F.col("page_id").alias("id"), "url",
+                     F.lit("http").alias("protocol"),
+                     F.regexp_extract("url", r"http://([^/]+)/", 1).alias("host"),
+                     F.lit(0).alias("port"),
+                     F.regexp_extract("url", r"http://[^/]+(/.*)", 1).alias("path"),
+                     F.regexp_extract("url", r"http://[^/]+(/.*)", 1).alias("uri_path"),
+                     F.lit(1).alias("depth"), F.lit("").alias("referrer"),
+                     F.lit(False).alias("fetched"), F.lit("queued").alias("status"),
+                     F.lit(0).alias("wave"), F.lit(0).alias("host_bucket"),
+                     F.lit(False).alias("is_seed_chain"),
+                     F.lit(None).cast(FRONTIER_SCHEMA["state"].dataType)
+                      .alias("state")))
+    seeds = seeds.withColumn(
+        "host_bucket",
+        (F.abs(F.xxhash64("host")) % cfg.host_buckets).cast("int"))
+    crawler.frontier = seeds.localCheckpoint(eager=True)
+    crawler.next_id = n_pages + 1
+    crawler.queued_count = crawler.frontier.count()
+
+    wave_secs = []
+    t0 = time.time()
+    for _ in range(N_WAVES):
+        if crawler.queued_count == 0:
+            break
+        tw = time.time()
+        crawler.run_wave()
+        wave_secs.append(round(time.time() - tw, 3))
+    wall = time.time() - t0
+    per_wave = [m.get("fetchstart", 0) for m in crawler.metrics]
+    processed = sum(per_wave)
+    enqueued = sum(m.get("queueadd", 0) for m in crawler.metrics)
+    # steady-state excludes wave 0 (python-worker spawn + codegen warmup,
+    # a fixed cost that vanishes over a long crawl)
+    steady_urls = sum(per_wave[1:])
+    steady_secs = sum(wave_secs[1:])
+    pages.unpersist()
+    return {"wall_sec": round(wall, 3), "urls_processed": int(processed),
+            "urls_enqueued": int(enqueued),
+            "urls_per_sec": round(processed / wall, 1) if wall else 0.0,
+            "urls_per_sec_steady": round(steady_urls / steady_secs, 1)
+            if steady_secs else 0.0,
+            "wave_secs": wave_secs, "wave_urls": per_wave,
+            "waves": len(crawler.metrics), "n_pages": n_pages,
+            "n_hosts": n_hosts}
+
+
+def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(REPO, "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    spark = make_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = _sf_of(sf_dir)
+    queries = entry.queries()
+    times = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    t0 = time.time()
+    crawl = crawl_bench(spark, sf if sf else 0.01)
+    times["crawl_waves"] = round(time.time() - t0, 3)
+    total += times["crawl_waves"]
+
+    result = {
+        "metric": "frontier URLs processed/sec per wave (+ headline query secs)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "crawl_urls_per_sec": crawl["urls_per_sec"],
+        "crawl": crawl,
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(sf_dir: str = SF_DIR) -> None:
+    """Evidence for the N→4N scaling criterion: same job at 8 and 32 cores."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["crawl"]["urls_per_sec_steady"]
+    t32 = results[32]["crawl"]["urls_per_sec_steady"]
+    eff = t32 / (4 * t8) if t8 else 0.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH baseline — scaling evidence
+
+Sandbox stand-in for the north_rule's N -> 4N executor criterion: the same
+synthetic crawl-wave job (power-law hosts, politeness budget 64/host/wave,
+{N_WAVES} waves) on the same input at local[8] vs local[32].
+
+| cores | crawl URLs/sec | total headline sec |
+| --- | --- | --- |
+| 8  | {t8} | {results[8]['value']} |
+| 32 | {t32} | {results[32]['value']} |
+
+**Scaling efficiency** = T32 / (4 * T8) = **{eff:.3f}** (criterion: >= 0.8)
+
+Per-query seconds at 32 cores: {json.dumps(results[32]['queries'])}
+
+sf_dir: {sf_dir}; crawl detail @32: {json.dumps(results[32]['crawl'])}
+""")
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "urls_per_sec_8": t8, "urls_per_sec_32": t32}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

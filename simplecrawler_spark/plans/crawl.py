@@ -35,6 +35,9 @@ Two due-selection paths:
 
 from __future__ import annotations
 
+import os
+import time
+from contextlib import contextmanager
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, Row, SparkSession, Window, functions as F
@@ -54,6 +57,17 @@ from ..schema import (BODY_SCHEMA, CANDIDATE_SCHEMA, FRONTIER_SCHEMA,
 SUPPORTED_MIME_RLIKE = (r"^(text/.*|application/(rss|html|xhtml)?[+/-]?xml.*"
                         r"|application/javascript.*|xml.*)$")
 _COMPRESSED_RLIKE = "(gzip|deflate)"
+
+
+_DEBUG_TIMING = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
+
+
+@contextmanager
+def _timed(label: str):
+    t = time.time()
+    yield
+    if _DEBUG_TIMING:
+        print(f"T {label} {time.time() - t:.1f}s", flush=True)
 
 
 def _origin_url(protocol: str, host: str, port) -> str:
@@ -84,6 +98,7 @@ class WaveCrawler:
         self.wave = 0
         self.next_id = 0
         self.queued_count: Optional[int] = None
+        self._wave_caches: List[DataFrame] = []
         self.first_request_active = True   # _isFirstRequest, crawler.ts:597
         seed = process_url(config.initial_url, None, 0, config.url_options(),
                            initial_url=config.initial_url)
@@ -296,6 +311,7 @@ class WaveCrawler:
         schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                            for f in due_all.schema.fields) + ", robots_ok boolean"
         checked = due_all.mapInPandas(check, schema).persist()
+        self._wave_caches.append(checked)
         due = checked.filter("robots_ok").drop("robots_ok")
         due_dis = checked.filter("NOT robots_ok").drop("robots_ok")
         n_dis = due_dis.count()
@@ -455,7 +471,8 @@ class WaveCrawler:
 
         # all wave counters + the wave's Set-Cookie headers in ONE job
         s = F.col("_new_status")
-        stats = resp.agg(
+        with _timed("stats-agg"):
+            stats = resp.agg(
             F.count("*").alias("fetchstart"),
             F.count_if(s == "downloaded").alias("downloaded"),
             F.count_if(s == "notfound").alias("notfound"),
@@ -469,7 +486,7 @@ class WaveCrawler:
                        .rlike(_COMPRESSED_RLIKE)).alias("_n_compressed"),
             F.collect_list(F.when(~F.col("_hang"), F.col("_set_cookie")))
              .alias("_cookies"),
-        ).collect()[0].asDict()
+            ).collect()[0].asDict()
         set_cookies = stats.pop("_cookies")
         n_compressed = stats.pop("_n_compressed")
         for k, v in stats.items():
@@ -497,8 +514,10 @@ class WaveCrawler:
                 bodies = content  # reuse the materialized fragment
             else:
                 bodies = bodies.persist()
+                self._wave_caches.append(bodies)
             if n_compressed:
-                count("gziperror", bodies.filter("gzip_error").count())
+                with _timed("gzip-count"):
+                    count("gziperror", bodies.filter("gzip_error").count())
 
         # ---------------------------------------- candidates (D4/R1/S3)
         cand_parts = []
@@ -554,7 +573,9 @@ class WaveCrawler:
                 make_candidate_processor(cfg, self.robots.files, self.crawl_host),
                 PROCESSED_CANDIDATE_SCHEMA).persist()
             n_cand = 0
-            for r in processed.groupBy("reject_reason").count().collect():
+            with _timed("candidate-reject-counts"):
+                reject_rows = processed.groupBy("reject_reason").count().collect()
+            for r in reject_rows:
                 if r["reject_reason"] is None:
                     n_cand = r["count"]
                 else:
@@ -571,12 +592,30 @@ class WaveCrawler:
                 first_seen = accepted.withColumn(
                     "__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
                 fresh = first_seen.join(frontier.select("url"), "url", "left_anti")
-                with_ids = assign_dense_ids(fresh, ["referrer_id", "pos"],
-                                            self.next_id, count_hint=n_cand)
-                n_new = with_ids.count()
-                count("queueadd", n_new)
-                count("queueduplicate", n_cand - n_new)
-                self.next_id += n_new
+                if cfg.id_mode == "composite":
+                    # scale path: order-isomorphic to (wave, referrer_id, pos)
+                    # without any global ranking pass. Layout: 12 bits wave |
+                    # 32 bits referrer id | 20 bits (pos + 2^19). FIFO order
+                    # is preserved wave-major; dense reference-identical ids
+                    # are available via id_mode='dense'.
+                    with_ids = fresh.withColumn(
+                        "id",
+                        F.expr(f"shiftleft(CAST({self.wave + 1} AS BIGINT), 52)"
+                               " | shiftleft(referrer_id & 4294967295, 20)"
+                               " | ((pos + 524288) & 1048575)"))
+                    n_new = None  # counted post-commit (cheap, checkpointed)
+                else:
+                    with_ids = assign_dense_ids(
+                        fresh, ["referrer_id", "pos"], self.next_id,
+                        count_hint=n_cand)
+                    if n_cand <= 100_000:
+                        with_ids = with_ids.persist()
+                        self._wave_caches.append(with_ids)
+                    with _timed("dense-id-count"):
+                        n_new = with_ids.count()
+                    count("queueadd", n_new)
+                    count("queueduplicate", n_cand - n_new)
+                    self.next_id += n_new
                 new_rows = with_ids.select(
                     "id", "url", "protocol", "host",
                     F.col("port").cast("int").alias("port"), "path", "uri_path",
@@ -608,7 +647,13 @@ class WaveCrawler:
             *[f.name for f in FRONTIER_SCHEMA.fields])
 
         self.wave += 1
-        self.frontier = self._commit(next_frontier)
+        with _timed("commit"):
+            self.frontier = self._commit(next_frontier)
+        if n_new is None:  # composite-id path: count new rows post-commit
+            with _timed("post-commit-count"):
+                n_new = self.frontier.filter(F.col("wave") == self.wave).count()
+            count("queueadd", n_new)
+            count("queueduplicate", n_cand - n_new)
         n_due_total = stats["fetchstart"] + n_due_disallowed
         if self.queued_count is not None:
             self.queued_count = self.queued_count - n_due_total + n_new
@@ -616,6 +661,7 @@ class WaveCrawler:
         self.metrics.append(wave_events)
         if self.store is not None:
             self.store.record_lineage(self.wave - 1, self.frontier, wave_events)
-        resp.unpersist()
-        if processed is not None:
-            processed.unpersist()
+        for df in (resp, *([processed] if processed is not None else []),
+                   *self._wave_caches):
+            df.unpersist()
+        self._wave_caches = []
