@@ -77,6 +77,7 @@ class RobotsFile:
     port: int = 80
     groups: dict = field(default_factory=dict)  # ua-token -> List[_Rule]
     sitemaps: List[str] = field(default_factory=list)
+    body: str = ""  # raw text, kept for checkpoint serialization
 
     def is_allowed(self, url: str, user_agent: str = "*") -> Optional[bool]:
         """True/False verdict, or None when this file has no authority over
@@ -117,7 +118,7 @@ def parse_robots(robots_url: str, body: str) -> RobotsFile:
     scheme = (sp.scheme or "http").lower()
     rf = RobotsFile(
         url=robots_url, protocol=scheme, host=(sp.hostname or "").lower(),
-        port=sp.port or (443 if scheme == "https" else 80))
+        port=sp.port or (443 if scheme == "https" else 80), body=body or "")
 
     current_agents: List[str] = []
     seen_rule_in_group = True  # new UA line after rules starts a new group set

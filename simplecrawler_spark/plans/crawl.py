@@ -143,6 +143,51 @@ class WaveCrawler:
                 "wave": self.wave, "host_bucket": 0,
                 "is_seed_chain": is_seed_chain, "state": None}
 
+    # ----------------------------------------------------- checkpoint/resume
+    def _driver_state(self) -> dict:
+        """Serializable driver-side crawl state for the snapshot manifest
+        (the freeze contract, queue.ts:268-279 + crawler fields)."""
+        return {
+            "wave": self.wave,
+            "next_id": self.next_id,
+            "queued_count": self.queued_count,
+            "crawl_host": self.crawl_host,
+            "first_request_active": self.first_request_active,
+            "robots": [{"url": rf.url, "body": rf.body}
+                       for rf in self.robots.files],
+            "touched": list(self.robots.touched_hosts),
+            "cookies": [{"name": c.name, "value": c.value,
+                         "expires": c.expires, "path": c.path,
+                         "domain": c.domain, "httponly": c.httponly}
+                        for c in self.jar.cookies],
+            "events": dict(self.events),
+        }
+
+    @classmethod
+    def resume(cls, spark: SparkSession, pages: DataFrame, config: CrawlerConfig,
+               store) -> "WaveCrawler":
+        """Defrost from the last committed snapshot (queue.ts:281-313): same
+        frontier, robots memory, cookie jar and counters ⇒ identical
+        continuation ordering."""
+        from ..functions.cookies import Cookie
+        state = store.last_state()
+        if state is None:
+            raise ValueError("cannot resume from an empty store")
+        c = cls(spark, pages, config, store=store)
+        c.wave = state["wave"]
+        c.next_id = state["next_id"]
+        c.queued_count = state["queued_count"]
+        c.crawl_host = state["crawl_host"]
+        c.first_request_active = state["first_request_active"]
+        c.events = dict(state.get("events", {}))
+        c.robots.touched_hosts = list(state["touched"])
+        for r in state["robots"]:
+            c.robots.add(parse_robots(r["url"], r["body"]))
+        for k in state["cookies"]:
+            c.jar.cookies.append(Cookie(**k))
+        c.frontier = store.current_frontier()
+        return c
+
     # ------------------------------------------------------------------- seed
     def seed(self, urls: Optional[List[str]] = None) -> None:
         """Enqueue seed URL(s) — crawler.start() :646-674."""
@@ -160,15 +205,23 @@ class WaveCrawler:
         if self.frontier is None:
             self.next_id += len(rows)
             self.queued_count = (self.queued_count or 0) + len(rows)
-            self.frontier = self._commit(df.select(
-                *[f.name for f in FRONTIER_SCHEMA.fields]))
+            delta = df.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            if self.store is not None:
+                self.store.commit_wave(self.wave, delta, self._driver_state())
+                self.frontier = self.store.current_frontier()
+            else:
+                self.frontier = self._commit(delta)
         else:
             df = df.join(self.frontier.select("url"), "url", "left_anti") \
                    .select(*[f.name for f in FRONTIER_SCHEMA.fields])
             n = df.count()
             self.next_id += n
             self.queued_count = (self.queued_count or 0) + n
-            self.frontier = self._commit(self.frontier.unionByName(df))
+            if self.store is not None:
+                self.store.commit_wave(self.wave, df, self._driver_state())
+                self.frontier = self.store.current_frontier()
+            else:
+                self.frontier = self._commit(self.frontier.unionByName(df))
 
     def queue_url(self, url: str, referrer: Optional[dict] = None) -> None:
         """Manual enqueue between waves (queueURL API, crawler.ts:1483)."""
@@ -187,8 +240,12 @@ class WaveCrawler:
         if added:
             self.next_id += added
             self.queued_count = (self.queued_count or 0) + added
-            self.frontier = self._commit(self.frontier.unionByName(df))
             self._count("queueadd", added)
+            if self.store is not None:
+                self.store.commit_wave(self.wave, df, self._driver_state())
+                self.frontier = self.store.current_frontier()
+            else:
+                self.frontier = self._commit(self.frontier.unionByName(df))
         else:
             self._count("queueduplicate", 1)
 
@@ -647,20 +704,37 @@ class WaveCrawler:
             *[f.name for f in FRONTIER_SCHEMA.fields])
 
         self.wave += 1
-        with _timed("commit"):
-            self.frontier = self._commit(next_frontier)
-        if n_new is None:  # composite-id path: count new rows post-commit
-            with _timed("post-commit-count"):
-                n_new = self.frontier.filter(F.col("wave") == self.wave).count()
-            count("queueadd", n_new)
-            count("queueduplicate", n_cand - n_new)
-        n_due_total = stats["fetchstart"] + n_due_disallowed
-        if self.queued_count is not None:
-            self.queued_count = self.queued_count - n_due_total + n_new
+        if self.store is not None:
+            # snapshot commit path: delta = versioned rows only (MoR).
+            # n_new is counted pre-commit so the manifest state is complete.
+            if n_new is None:
+                n_new = new_rows.count() if new_rows is not None else 0
+                count("queueadd", n_new)
+                count("queueduplicate", n_cand - n_new)
+                self.next_id += n_new
+            n_due_total = stats["fetchstart"] + n_due_disallowed
+            if self.queued_count is not None:
+                self.queued_count = self.queued_count - n_due_total + n_new
+            delta = outcome if new_rows is None \
+                else outcome.unionByName(new_rows)
+            delta = delta.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            with _timed("commit"):
+                self.store.commit_wave(self.wave, delta, self._driver_state())
+                self.frontier = self.store.current_frontier()
+        else:
+            with _timed("commit"):
+                self.frontier = self._commit(next_frontier)
+            if n_new is None:  # composite-id path: count new rows post-commit
+                with _timed("post-commit-count"):
+                    n_new = self.frontier.filter(
+                        F.col("wave") == self.wave).count()
+                count("queueadd", n_new)
+                count("queueduplicate", n_cand - n_new)
+            n_due_total = stats["fetchstart"] + n_due_disallowed
+            if self.queued_count is not None:
+                self.queued_count = self.queued_count - n_due_total + n_new
         wave_events["wave"] = self.wave - 1
         self.metrics.append(wave_events)
-        if self.store is not None:
-            self.store.record_lineage(self.wave - 1, self.frontier, wave_events)
         for df in (resp, *([processed] if processed is not None else []),
                    *self._wave_caches):
             df.unpersist()

@@ -1,0 +1,140 @@
+"""Snapshot store: parquet merge-on-read deltas + JSON manifest.
+
+The Iceberg-snapshot analog for the sandbox (no network for the Iceberg
+runtime jar — SURVEY.md §7): each wave commits
+
+- ``deltas/wave=N/`` — parquet with every frontier row VERSIONED this wave
+  (status updates + appends), partitioned by host_bucket;
+- a manifest entry — wave id, driver state (robots bodies, cookies, next_id,
+  queued count, crawl host, seed-chain flag) and per-partition lineage
+  (host_bucket, url_count — plus bloom FPR when the Bloom side table is
+  enabled), fsync'd via write-tmp-then-rename so a kill between waves leaves
+  the last complete snapshot intact.
+
+Current frontier = union of deltas keeping the max-wave version per id —
+classic MoR; ``compact()`` (auto every ``compact_every`` waves) rewrites the
+union into a single base delta so read amplification stays bounded.
+
+This mirrors queue.freeze/defrost (/root/reference/src/queue.ts:268-313):
+the reference re-queues in-flight items on freeze; our wave granularity
+means a killed job simply resumes from the last committed wave with the
+same crawl ordering (reliability.integration.spec.ts:132-203 semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .schema import FRONTIER_SCHEMA
+
+
+class SnapshotStore:
+    def __init__(self, path: str, spark: SparkSession, compact_every: int = 8):
+        self.path = path
+        self.spark = spark
+        self.compact_every = compact_every
+        os.makedirs(os.path.join(path, "deltas"), exist_ok=True)
+        self._manifest = {"waves": []}
+        mf = self._manifest_path()
+        if os.path.exists(mf):
+            with open(mf) as f:
+                self._manifest = json.load(f)
+
+    # ------------------------------------------------------------- manifest
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _write_manifest(self) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())
+
+    @property
+    def waves(self) -> List[dict]:
+        return self._manifest["waves"]
+
+    def last_state(self) -> Optional[dict]:
+        return self.waves[-1]["state"] if self.waves else None
+
+    # --------------------------------------------------------------- commits
+    def commit_wave(self, wave: int, delta: DataFrame, state: dict) -> None:
+        """Atomically commit one snapshot: delta parquet first, manifest
+        second. A crash between the two leaves an orphan delta dir that the
+        next resume ignores (manifest is the source of truth)."""
+        seq = self.waves[-1]["seq"] + 1 if self.waves else 0
+        rel = f"deltas/seq={seq}"
+        out = os.path.join(self.path, rel)
+        if os.path.exists(out):
+            shutil.rmtree(out)  # re-commit after crash-before-manifest
+        delta.write.partitionBy("host_bucket").parquet(out)
+        lineage = [
+            {"wave": wave, "host_bucket": r["host_bucket"],
+             "url_count": r["count"]}
+            for r in self.spark.read.parquet(out)
+                         .groupBy("host_bucket").count().collect()]
+        self._manifest["waves"].append(
+            {"seq": seq, "wave": wave, "delta": rel, "state": state,
+             "lineage": lineage})
+        self._write_manifest()
+        if len(self.waves) >= self.compact_every and \
+                len([w for w in self.waves if not w.get("compacted")]) \
+                >= self.compact_every:
+            self.compact()
+
+    def compact(self) -> None:
+        """Rewrite the MoR union into a single base delta (bounded read
+        amplification — the Iceberg rewrite_data_files analog)."""
+        if not self.waves:
+            return
+        current = self.current_frontier()
+        wave = self.waves[-1]["wave"]
+        seq = self.waves[-1]["seq"]
+        rel = f"deltas/base={seq}"
+        out = os.path.join(self.path, rel)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        current.write.partitionBy("host_bucket").parquet(out)
+        state = self.waves[-1]["state"]
+        lineage = self.waves[-1]["lineage"]
+        for w in self.waves:
+            p = os.path.join(self.path, w["delta"])
+            if os.path.exists(p) and w["delta"].startswith("deltas/seq="):
+                shutil.rmtree(p)
+        self._manifest["waves"] = [
+            {"seq": seq, "wave": wave, "delta": rel, "state": state,
+             "lineage": lineage, "compacted": True}]
+        self._write_manifest()
+
+    # ---------------------------------------------------------------- reads
+    def current_frontier(self) -> DataFrame:
+        """MoR read: newest row version per id across all committed deltas."""
+        if not self.waves:
+            raise ValueError("empty store")
+        # partitionBy() moves host_bucket to the tail of the read schema and
+        # infers it from the dir name — restore canonical field order + types
+        # so positional consumers (collect → createDataFrame) stay aligned.
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in FRONTIER_SCHEMA.fields]
+        parts = [self.spark.read.parquet(os.path.join(self.path, w["delta"]))
+                 .select(*cols)
+                 .withColumn("__cw", F.lit(w["seq"]))
+                 for w in self.waves]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if len(parts) == 1:
+            return df.drop("__cw")
+        win = Window.partitionBy("id").orderBy(F.desc("__cw"))
+        return (df.withColumn("__rn", F.row_number().over(win))
+                .filter("__rn = 1").drop("__rn", "__cw"))
+
+    def lineage_rows(self) -> List[dict]:
+        return [l for w in self.waves for l in w["lineage"]]
