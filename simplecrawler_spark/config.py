@@ -47,6 +47,11 @@ class CrawlerConfig:
 
     # --- Spark engine knobs ---
     host_buckets: int = 64            # salt buckets for host-hash partitioning
+    # Bloom URL-seen side table (north_rule): capacity per host_bucket; None
+    # disables the pre-filter (exact anti-join only). Auto-created under
+    # <store>/bloom when a SnapshotStore is attached.
+    bloom_capacity_per_bucket: Optional[int] = None
+    bloom_target_fpr: float = 0.01
     tokens_per_host_per_wave: Optional[int] = None  # None = unlimited (politeness off)
     max_waves: int = 1000
     id_mode: str = "dense"            # 'dense' (reference-identical ids) | 'composite'

@@ -80,10 +80,18 @@ def _origin_url(protocol: str, host: str, port) -> str:
 
 class WaveCrawler:
     def __init__(self, spark: SparkSession, pages: DataFrame, config: CrawlerConfig,
-                 cache: Optional[DataFrame] = None, store=None, keep_content: bool = True):
+                 cache: Optional[DataFrame] = None, store=None, keep_content: bool = True,
+                 bloom=None):
         self.spark = spark
         self.config = config
         self.store = store
+        if bloom is None and config.bloom_capacity_per_bucket and store is not None:
+            from ..bloom import BloomSideTable
+            bloom = BloomSideTable(
+                os.path.join(store.path, "bloom"), spark,
+                capacity_per_bucket=config.bloom_capacity_per_bucket,
+                target_fpr=config.bloom_target_fpr)
+        self.bloom = bloom
         self.keep_content = keep_content
         # pages table: fetch = frontier ⨝ pages on url (input_hint corpus)
         self.pages = pages
@@ -127,12 +135,18 @@ class WaveCrawler:
             .cast("int").alias("host_bucket")
 
     def _commit(self, df: DataFrame) -> DataFrame:
-        """Wave materialization boundary (Iceberg snapshot analog). Coalesce
+        """Wave materialization boundary (Iceberg snapshot analog; store-backed
+        runs commit via store.commit_wave at the call sites instead). Coalesce
         bounds partition growth from per-wave unions (no shuffle)."""
-        if self.store is not None:
-            return self.store.commit_frontier(self.wave, df)
         n = self.spark.sparkContext.defaultParallelism
         return df.coalesce(n).localCheckpoint(eager=True)
+
+    def _bloom_add(self, delta: DataFrame) -> None:
+        """OR freshly-enqueued URLs into the Bloom side table. Call sites pass
+        exactly the rows new to the frontier, so n_items (→ analytic FPR in
+        lineage) tracks true insert counts."""
+        if self.bloom is not None:
+            self.bloom.add(delta.select("host_bucket", "url"))
 
     def _item_row(self, item: dict, id_: int, depth: int, referrer: str,
                   is_seed_chain: bool) -> dict:
@@ -186,6 +200,10 @@ class WaveCrawler:
         for k in state["cookies"]:
             c.jar.cookies.append(Cookie(**k))
         c.frontier = store.current_frontier()
+        if c.bloom is not None and c.bloom.version() < 0:
+            # store predates the Bloom side table: backfill from the frontier
+            # so the filter can never miss a seen URL (no false negatives).
+            c.bloom.add(c.frontier.select("host_bucket", "url"))
         return c
 
     # ------------------------------------------------------------------- seed
@@ -207,10 +225,12 @@ class WaveCrawler:
             self.queued_count = (self.queued_count or 0) + len(rows)
             delta = df.select(*[f.name for f in FRONTIER_SCHEMA.fields])
             if self.store is not None:
-                self.store.commit_wave(self.wave, delta, self._driver_state())
+                self.store.commit_wave(self.wave, delta, self._driver_state(),
+                                       bloom=self.bloom)
                 self.frontier = self.store.current_frontier()
             else:
                 self.frontier = self._commit(delta)
+                self._bloom_add(delta)
         else:
             df = df.join(self.frontier.select("url"), "url", "left_anti") \
                    .select(*[f.name for f in FRONTIER_SCHEMA.fields])
@@ -218,10 +238,12 @@ class WaveCrawler:
             self.next_id += n
             self.queued_count = (self.queued_count or 0) + n
             if self.store is not None:
-                self.store.commit_wave(self.wave, df, self._driver_state())
+                self.store.commit_wave(self.wave, df, self._driver_state(),
+                                       bloom=self.bloom)
                 self.frontier = self.store.current_frontier()
             else:
                 self.frontier = self._commit(self.frontier.unionByName(df))
+                self._bloom_add(df)
 
     def queue_url(self, url: str, referrer: Optional[dict] = None) -> None:
         """Manual enqueue between waves (queueURL API, crawler.ts:1483)."""
@@ -242,10 +264,12 @@ class WaveCrawler:
             self.queued_count = (self.queued_count or 0) + added
             self._count("queueadd", added)
             if self.store is not None:
-                self.store.commit_wave(self.wave, df, self._driver_state())
+                self.store.commit_wave(self.wave, df, self._driver_state(),
+                                       bloom=self.bloom)
                 self.frontier = self.store.current_frontier()
             else:
                 self.frontier = self._commit(self.frontier.unionByName(df))
+                self._bloom_add(df)
         else:
             self._count("queueduplicate", 1)
 
@@ -648,7 +672,21 @@ class WaveCrawler:
                 w = Window.partitionBy("url").orderBy("referrer_id", "pos")
                 first_seen = accepted.withColumn(
                     "__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
-                fresh = first_seen.join(frontier.select("url"), "url", "left_anti")
+                if self.bloom is not None:
+                    # Bloom pre-filter (no false negatives): rows the filter
+                    # rejects are definitely fresh; only the maybe_seen
+                    # sliver pays the exact anti-join shuffle.
+                    probed = self.bloom.probe(
+                        first_seen.withColumn("host_bucket",
+                                              self._host_bucket_col()))
+                    maybe = probed.filter(F.col("__maybe_seen"))
+                    fresh = (probed.filter(~F.col("__maybe_seen"))
+                             .unionByName(maybe.join(frontier.select("url"),
+                                                     "url", "left_anti"))
+                             .drop("__maybe_seen", "host_bucket"))
+                else:
+                    fresh = first_seen.join(frontier.select("url"),
+                                            "url", "left_anti")
                 if cfg.id_mode == "composite":
                     # scale path: order-isomorphic to (wave, referrer_id, pos)
                     # without any global ranking pass. Layout: 12 bits wave |
@@ -719,7 +757,8 @@ class WaveCrawler:
                 else outcome.unionByName(new_rows)
             delta = delta.select(*[f.name for f in FRONTIER_SCHEMA.fields])
             with _timed("commit"):
-                self.store.commit_wave(self.wave, delta, self._driver_state())
+                self.store.commit_wave(self.wave, delta, self._driver_state(),
+                                       bloom=self.bloom)
                 self.frontier = self.store.current_frontier()
         else:
             with _timed("commit"):
@@ -735,6 +774,11 @@ class WaveCrawler:
                 self.queued_count = self.queued_count - n_due_total + n_new
         wave_events["wave"] = self.wave - 1
         self.metrics.append(wave_events)
+        if n_new and self.store is None:
+            # post-commit: frontier is localCheckpointed, so the wave filter
+            # reads materialized data — no recompute of the enqueue plan.
+            # (Store-backed runs add inside commit_wave for crash safety.)
+            self._bloom_add(self.frontier.filter(F.col("wave") == self.wave))
         for df in (resp, *([processed] if processed is not None else []),
                    *self._wave_caches):
             df.unpersist()

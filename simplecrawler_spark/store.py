@@ -65,24 +65,40 @@ class SnapshotStore:
         return self.waves[-1]["state"] if self.waves else None
 
     # --------------------------------------------------------------- commits
-    def commit_wave(self, wave: int, delta: DataFrame, state: dict) -> None:
-        """Atomically commit one snapshot: delta parquet first, manifest
-        second. A crash between the two leaves an orphan delta dir that the
-        next resume ignores (manifest is the source of truth)."""
+    def commit_wave(self, wave: int, delta: DataFrame, state: dict,
+                    bloom=None) -> None:
+        """Atomically commit one snapshot: delta parquet, then the Bloom
+        side-table generation, then the manifest. Crash-window analysis:
+        orphan delta (pre-manifest) is ignored on resume; a Bloom generation
+        without its manifest entry is a *superset* of the committed frontier,
+        which only costs false positives (resolved by the exact anti-join) —
+        never false negatives, so resume stays exact."""
         seq = self.waves[-1]["seq"] + 1 if self.waves else 0
         rel = f"deltas/seq={seq}"
         out = os.path.join(self.path, rel)
         if os.path.exists(out):
             shutil.rmtree(out)  # re-commit after crash-before-manifest
         delta.write.partitionBy("host_bucket").parquet(out)
+        committed = self.spark.read.parquet(out)
+        fpr = {}
+        if bloom is not None:
+            # fresh rows in this delta carry the committed wave id; outcome
+            # rows (status updates) keep their enqueue wave and are already
+            # in the filter.
+            bloom.add(committed.filter(F.col("wave") == wave)
+                      .select("host_bucket", "url"))
+            fpr = bloom.fpr_by_bucket()
         lineage = [
             {"wave": wave, "host_bucket": r["host_bucket"],
-             "url_count": r["count"]}
-            for r in self.spark.read.parquet(out)
-                         .groupBy("host_bucket").count().collect()]
+             "url_count": r["count"],
+             "bloom_fpr": fpr.get(r["host_bucket"])}
+            for r in committed.groupBy("host_bucket").count().collect()]
         self._manifest["waves"].append(
             {"seq": seq, "wave": wave, "delta": rel, "state": state,
              "lineage": lineage})
+        # append-only lineage log — survives compaction (Iceberg keeps
+        # snapshot history even after rewrite_data_files)
+        self._manifest.setdefault("history", []).extend(lineage)
         self._write_manifest()
         if len(self.waves) >= self.compact_every and \
                 len([w for w in self.waves if not w.get("compacted")]) \
@@ -137,4 +153,5 @@ class SnapshotStore:
                 .filter("__rn = 1").drop("__rn", "__cw"))
 
     def lineage_rows(self) -> List[dict]:
-        return [l for w in self.waves for l in w["lineage"]]
+        return list(self._manifest.get(
+            "history", [l for w in self.waves for l in w["lineage"]]))
