@@ -274,6 +274,30 @@ def q_multimodal_features(spark, sf_dir):
     return image_features(_t(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------- CC corpus extraction (T1)
+def q_cc_extract(spark, sf_dir):
+    """input_hint invariant at scale: synthesize the (url, warc_ts, html,
+    text, lang) corpus deterministically, run the vectorized extractor, and
+    report per-lang totals + byte-identity matches. Non-SQL (binary decode
+    in an Arrow kernel) — rows-only driver check; identity is asserted by
+    tests/test_ccpages_extract.py for every row."""
+    from simplecrawler_spark.operators.extract import extract_text
+    from simplecrawler_spark.sources.ccpages import synth_cc_pages
+    sf = 0.01
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        pass
+    cc = synth_cc_pages(spark, max(int(200_000 * sf), 1_000), 64)
+    got = extract_text(cc)
+    return (cc.join(got, "url")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(F.when(F.col("extracted_text") == F.col("text"), 1)
+                       .otherwise(0)).alias("n_identical"))
+            .orderBy("lang"))
+
+
 # ============================================================ driver contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: FIFO politeness wave selection at sf0.001."""
@@ -303,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "cc_extract": q_cc_extract,
     }
 
 
