@@ -44,6 +44,12 @@ class CrawlerConfig:
     # the row fetchconditionerror / downloadconditionerror.
     fetch_conditions: List[Callable] = field(default_factory=list)
     download_conditions: List[Callable] = field(default_factory=list)
+    # request-options knobs (T3, crawler.ts:800-833,755-759)
+    auth_user: Optional[str] = None                         # :800-811
+    auth_pass: Optional[str] = None
+    custom_headers: Optional[dict] = None                   # :827-833
+    proxy_hostname: Optional[str] = None                    # :755-759
+    proxy_port: Optional[int] = None
 
     # --- Spark engine knobs ---
     host_buckets: int = 64            # salt buckets for host-hash partitioning
