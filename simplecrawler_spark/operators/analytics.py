@@ -104,3 +104,43 @@ class QueueAnalytics:
         rows = self.frontier.filter(F.col("status") == "queued") \
             .orderBy("id").limit(1).collect()
         return rows[0] if rows else None
+
+    def get(self, index: int) -> Row:
+        """Q3 ⇔ queue.ts:145-155: index lookup with range error."""
+        rows = self.frontier.filter(F.col("id") == index).limit(1).collect()
+        if not rows:
+            raise IndexError(f"out of range: {index}")
+        return rows[0]
+
+    def update(self, id_: int, updates: Dict) -> DataFrame:
+        """Q4 ⇔ queue.ts:157-174 deepAssign: returns a NEW frontier with the
+        row merged. Top-level keys overwrite; ``stateData`` merges field-wise
+        into the nested state struct (withField ⇒ no shuffle, one projection
+        — the Iceberg MERGE analog at snapshot-commit granularity)."""
+        hit = F.col("id") == id_
+        df = self.frontier
+        matched = df.filter(hit).limit(1).count()
+        if not matched:
+            raise IndexError(f"no queue item with id: {id_}")
+        for key, value in updates.items():
+            if key == "stateData" and isinstance(value, dict):
+                # deepAssign materializes nested objects: null state becomes
+                # an all-null struct before the field merge
+                stype = df.schema["state"].dataType
+                state = F.coalesce(
+                    F.col("state"),
+                    F.struct(*[F.lit(None).cast(f.dataType).alias(f.name)
+                               for f in stype.fields]))
+                for sk, sv in value.items():
+                    if sk not in _STATE_LEVEL:
+                        raise KeyError(f"unknown stateData field: {sk}")
+                    state = state.withField(_STATE_LEVEL[sk], F.lit(sv))
+                df = df.withColumn("state", F.when(hit, state)
+                                   .otherwise(F.col("state")))
+            elif key in _TOP_LEVEL and key != "id":
+                col = _TOP_LEVEL[key]
+                df = df.withColumn(col, F.when(hit, F.lit(value))
+                                   .otherwise(F.col(col)))
+            else:
+                raise KeyError(f"unknown queue item field: {key}")
+        return df

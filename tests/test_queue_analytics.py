@@ -92,3 +92,32 @@ def test_get_length(q):
 def test_invalid_statistic(q):
     with pytest.raises(InvalidStatisticError, match="Invalid statistic"):
         q.max("invalidStatistic")
+
+
+def test_get_by_index(q):
+    assert q.get(2)["url"] == "http://127.0.0.1:3000/stage2"
+    with pytest.raises(IndexError):
+        q.get(99)
+
+
+def test_update_deep_assign(q):
+    # queue.ts:157-174: top-level overwrite + nested stateData merge
+    out = QueueAnalytics(q.frontier).update(
+        2, {"status": "failed", "stateData": {"code": 503}})
+    r = {x["id"]: x for x in out.orderBy("id").collect()}
+    assert r[2]["status"] == "failed"
+    assert r[2]["state"]["code"] == 503
+    assert r[2]["state"]["content_length"] == 37   # untouched fields survive
+    assert r[0]["status"] == "downloaded"          # other rows untouched
+    with pytest.raises(IndexError):
+        QueueAnalytics(q.frontier).update(99, {"status": "failed"})
+    with pytest.raises(KeyError):
+        QueueAnalytics(q.frontier).update(0, {"bogus": 1})
+
+
+def test_update_materializes_null_state(q):
+    out = QueueAnalytics(q.frontier).update(
+        3, {"stateData": {"code": 600}})
+    r = out.filter("id = 3").first()
+    assert r["state"]["code"] == 600
+    assert r["state"]["content_type"] is None
