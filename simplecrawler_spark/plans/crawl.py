@@ -199,7 +199,9 @@ class WaveCrawler:
             c.robots.add(parse_robots(r["url"], r["body"]))
         for k in state["cookies"]:
             c.jar.cookies.append(Cookie(**k))
-        c.frontier = store.current_frontier()
+        # one-time MoR merge, materialized: subsequent waves extend it
+        # incrementally exactly like an uninterrupted run
+        c.frontier = c._commit(store.current_frontier())
         if c.bloom is not None and c.bloom.version() < 0:
             # store predates the Bloom side table: backfill from the frontier
             # so the filter can never miss a seen URL (no false negatives).
@@ -225,9 +227,9 @@ class WaveCrawler:
             self.queued_count = (self.queued_count or 0) + len(rows)
             delta = df.select(*[f.name for f in FRONTIER_SCHEMA.fields])
             if self.store is not None:
-                self.store.commit_wave(self.wave, delta, self._driver_state(),
-                                       bloom=self.bloom)
-                self.frontier = self.store.current_frontier()
+                committed = self.store.commit_wave(
+                    self.wave, delta, self._driver_state(), bloom=self.bloom)
+                self.frontier = self._commit(committed)
             else:
                 self.frontier = self._commit(delta)
                 self._bloom_add(delta)
@@ -238,9 +240,10 @@ class WaveCrawler:
             self.next_id += n
             self.queued_count = (self.queued_count or 0) + n
             if self.store is not None:
-                self.store.commit_wave(self.wave, df, self._driver_state(),
-                                       bloom=self.bloom)
-                self.frontier = self.store.current_frontier()
+                committed = self.store.commit_wave(
+                    self.wave, df, self._driver_state(), bloom=self.bloom)
+                self.frontier = self._commit(
+                    self.frontier.unionByName(committed))
             else:
                 self.frontier = self._commit(self.frontier.unionByName(df))
                 self._bloom_add(df)
@@ -264,9 +267,10 @@ class WaveCrawler:
             self.queued_count = (self.queued_count or 0) + added
             self._count("queueadd", added)
             if self.store is not None:
-                self.store.commit_wave(self.wave, df, self._driver_state(),
-                                       bloom=self.bloom)
-                self.frontier = self.store.current_frontier()
+                committed = self.store.commit_wave(
+                    self.wave, df, self._driver_state(), bloom=self.bloom)
+                self.frontier = self._commit(
+                    self.frontier.unionByName(committed))
             else:
                 self.frontier = self._commit(self.frontier.unionByName(df))
                 self._bloom_add(df)
@@ -743,23 +747,36 @@ class WaveCrawler:
 
         self.wave += 1
         if self.store is not None:
-            # snapshot commit path: delta = versioned rows only (MoR).
-            # n_new is counted pre-commit so the manifest state is complete.
-            if n_new is None:
-                n_new = new_rows.count() if new_rows is not None else 0
-                count("queueadd", n_new)
-                count("queueduplicate", n_cand - n_new)
-                self.next_id += n_new
-            n_due_total = stats["fetchstart"] + n_due_disallowed
-            if self.queued_count is not None:
-                self.queued_count = self.queued_count - n_due_total + n_new
+            # snapshot commit path: delta = versioned rows only (MoR). The
+            # manifest's counters are finalized AFTER the delta parquet is
+            # written, counting new rows from the materialized files rather
+            # than re-evaluating the enqueue plan.
             delta = outcome if new_rows is None \
                 else outcome.unionByName(new_rows)
             delta = delta.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+            def finalize(committed: DataFrame) -> dict:
+                nonlocal n_new
+                if n_new is None:
+                    n_new = committed.filter(
+                        F.col("wave") == self.wave).count()
+                    count("queueadd", n_new)
+                    count("queueduplicate", n_cand - n_new)
+                    self.next_id += n_new
+                n_due_total = stats["fetchstart"] + n_due_disallowed
+                if self.queued_count is not None:
+                    self.queued_count = \
+                        self.queued_count - n_due_total + n_new
+                return self._driver_state()
+
             with _timed("commit"):
-                self.store.commit_wave(self.wave, delta, self._driver_state(),
-                                       bloom=self.bloom)
-                self.frontier = self.store.current_frontier()
+                committed = self.store.commit_wave(
+                    self.wave, delta, finalize, bloom=self.bloom)
+                # durability log written; working frontier is maintained
+                # incrementally (untouched ∪ materialized delta) — no
+                # per-wave merge-on-read over the whole delta history
+                self.frontier = self._commit(
+                    untouched.unionByName(committed))
         else:
             with _timed("commit"):
                 self.frontier = self._commit(next_frontier)

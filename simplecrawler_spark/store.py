@@ -66,20 +66,38 @@ class SnapshotStore:
 
     # --------------------------------------------------------------- commits
     def commit_wave(self, wave: int, delta: DataFrame, state: dict,
-                    bloom=None) -> None:
+                    bloom=None) -> DataFrame:
         """Atomically commit one snapshot: delta parquet, then the Bloom
         side-table generation, then the manifest. Crash-window analysis:
         orphan delta (pre-manifest) is ignored on resume; a Bloom generation
         without its manifest entry is a *superset* of the committed frontier,
         which only costs false positives (resolved by the exact anti-join) —
-        never false negatives, so resume stays exact."""
+        never false negatives, so resume stays exact.
+
+        Returns the committed delta re-read from parquet (canonical column
+        order) so the caller can reuse the materialized bytes instead of
+        recomputing the delta plan — the store is a durability log; the
+        crawler maintains its working frontier incrementally."""
+        # compact BEFORE writing the new delta: the delta committed here must
+        # stay on disk until the caller has consumed the returned DataFrame
+        if len([w for w in self.waves if not w.get("compacted")]) \
+                >= self.compact_every:
+            self.compact()
         seq = self.waves[-1]["seq"] + 1 if self.waves else 0
         rel = f"deltas/seq={seq}"
         out = os.path.join(self.path, rel)
         if os.path.exists(out):
             shutil.rmtree(out)  # re-commit after crash-before-manifest
-        delta.write.partitionBy("host_bucket").parquet(out)
-        committed = self.spark.read.parquet(out)
+        # one file per host_bucket dir (not one per task x bucket): cluster
+        # rows by bucket before the partitioned write
+        delta.repartition(F.col("host_bucket")) \
+             .write.partitionBy("host_bucket").parquet(out)
+        committed = self._canonical(self.spark.read.parquet(out))
+        if callable(state):
+            # driver-state finalizer: lets the caller derive counters from
+            # the MATERIALIZED delta (cheap parquet read) instead of
+            # re-evaluating the delta's lineage a second time
+            state = state(committed)
         fpr = {}
         if bloom is not None:
             # fresh rows in this delta carry the committed wave id; outcome
@@ -100,10 +118,7 @@ class SnapshotStore:
         # snapshot history even after rewrite_data_files)
         self._manifest.setdefault("history", []).extend(lineage)
         self._write_manifest()
-        if len(self.waves) >= self.compact_every and \
-                len([w for w in self.waves if not w.get("compacted")]) \
-                >= self.compact_every:
-            self.compact()
+        return committed
 
     def compact(self) -> None:
         """Rewrite the MoR union into a single base delta (bounded read
@@ -130,17 +145,22 @@ class SnapshotStore:
         self._write_manifest()
 
     # ---------------------------------------------------------------- reads
+    def _canonical(self, df: DataFrame) -> DataFrame:
+        """partitionBy() moves host_bucket to the tail of the read schema and
+        infers its type from the dir name — restore canonical field order +
+        types so positional consumers (collect → createDataFrame) align."""
+        return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
+                           for f in FRONTIER_SCHEMA.fields])
+
     def current_frontier(self) -> DataFrame:
-        """MoR read: newest row version per id across all committed deltas."""
+        """MoR read: newest row version per id across all committed deltas.
+        Used on resume (and for audits) — the live crawler keeps its working
+        frontier incrementally instead of re-merging every wave."""
         if not self.waves:
             raise ValueError("empty store")
-        # partitionBy() moves host_bucket to the tail of the read schema and
-        # infers it from the dir name — restore canonical field order + types
-        # so positional consumers (collect → createDataFrame) stay aligned.
-        cols = [F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in FRONTIER_SCHEMA.fields]
-        parts = [self.spark.read.parquet(os.path.join(self.path, w["delta"]))
-                 .select(*cols)
+        parts = [self._canonical(
+                     self.spark.read.parquet(
+                         os.path.join(self.path, w["delta"])))
                  .withColumn("__cw", F.lit(w["seq"]))
                  for w in self.waves]
         df = parts[0]
