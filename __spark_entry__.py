@@ -255,10 +255,36 @@ def q_ann_topk(spark, sf_dir):
             .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
 
 
+def _ann_lsh_oracle() -> str:
+    """DuckDB replica of the hyperplane bucketing: same ±1 plane literals,
+    bucket bit p = sign of dot(embedding, plane_p), join on bucket, cosine
+    rank within."""
+    emb = "list_transform(embedding, x -> x::DOUBLE)"
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product({emb}, "
+        f"[{', '.join(str(x) for x in plane)}]) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(PLANES))
+    return f"""
+        WITH b AS (
+          SELECT vec_id, {emb} AS emb, ({bucket})::BIGINT AS bucket
+          FROM embeddings)
+        SELECT q_id, vec_id, rank FROM (
+          SELECT q.vec_id AS q_id, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.emb, e.emb) DESC,
+                            e.vec_id)::BIGINT AS rank
+          FROM b q JOIN b e USING (bucket)
+          WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+        WHERE rank <= 5
+    """
+
+
 def q_ann_lsh(spark, sf_dir):
     """IVF/LSH-style scale path: hyperplane-sign buckets, join on bucket.
-    No SQL oracle (rows-only check) — recall tested vs brute force in
-    tests/test_textpipe.py instead."""
+    Oracle: the same bucketing + ranking in DuckDB SQL (plane literals
+    shared); recall vs brute force additionally tested in tests/."""
     from simplecrawler_spark.operators.similarity import cosine_topk_lsh
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double"))
@@ -521,6 +547,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
         """,
+        "ann_lsh": _ann_lsh_oracle(),
         "multimodal_features": """
             SELECT doc_id,
                    octet_length(encode(text))::BIGINT AS n_bytes,
