@@ -224,7 +224,11 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
     sys.path.pop(0)
     zip_path = _pkg.build()
     sf = _sf_of(sf_dir) or 0.1
-    n_pages = max(int(N_PAGES_PER_SF * sf), 10_000)
+    # the scaling run uses a larger corpus than the throughput bench: waves
+    # must be compute-bound (≫ the ~10 s fixed per-wave cost of job launch,
+    # python-worker fill and store commit) for the core ratio to be visible
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "10"))
+    n_pages = max(int(N_PAGES_PER_SF * sf * mult), 100_000)
     n_hosts = max(int(n_pages * N_HOSTS_FRAC), 16)
     pages_arg = f"synth:{n_pages}:{n_hosts}"
     results = {}

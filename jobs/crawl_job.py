@@ -63,7 +63,6 @@ def main(argv=None) -> int:
 
     from simplecrawler_spark.config import CrawlerConfig
     from simplecrawler_spark.plans.crawl import WaveCrawler
-    from simplecrawler_spark.schema import FRONTIER_SCHEMA
     from simplecrawler_spark.sources.ccpages import (cc_to_crawl_pages,
                                                      synth_cc_pages)
     from simplecrawler_spark.store import SnapshotStore
@@ -102,41 +101,12 @@ def main(argv=None) -> int:
             # distributed bulk seed: every ceil(1/frac)-th corpus URL
             step = max(int(1 / args.seed_frac), 1)
             extra = (cc.withColumn(
-                        "__pid", F.regexp_extract("url", r"/p/(\d+)$", 1)
+                        "id", F.regexp_extract("url", r"/p/(\d+)$", 1)
                         .cast("long"))
-                     .filter((F.col("__pid") % step == 0) &
+                     .filter((F.col("id") % step == 0) &
                              (F.col("url") != seed_url))
-                     .select(
-                         F.col("__pid").alias("id"), "url",
-                         F.lit("http").alias("protocol"),
-                         F.regexp_extract("url", r"http://([^/]+)/", 1)
-                         .alias("host"),
-                         F.lit(0).alias("port"),
-                         F.regexp_extract("url", r"http://[^/]+(/.*)", 1)
-                         .alias("path"),
-                         F.regexp_extract("url", r"http://[^/]+(/.*)", 1)
-                         .alias("uri_path"),
-                         F.lit(1).alias("depth"), F.lit("").alias("referrer"),
-                         F.lit(False).alias("fetched"),
-                         F.lit("queued").alias("status"),
-                         F.lit(0).alias("wave"),
-                         (F.abs(F.xxhash64("host")) % cfg.host_buckets)
-                         .cast("int").alias("host_bucket"),
-                         F.lit(False).alias("is_seed_chain"),
-                         F.lit(None).cast(FRONTIER_SCHEMA["state"].dataType)
-                         .alias("state")))
-            n = extra.count()
-            if store is not None:
-                store.commit_wave(crawler.wave, extra,
-                                  crawler._driver_state(),
-                                  bloom=crawler.bloom)
-                crawler.frontier = store.current_frontier()
-            else:
-                crawler.frontier = crawler._commit(
-                    crawler.frontier.unionByName(extra))
-                crawler._bloom_add(extra)
-            crawler.queued_count += n
-            crawler.next_id = max(crawler.next_id, n + 1)
+                     .select("id", "url"))
+            crawler.seed_frontier(extra)
 
     waves_run = 0
     wave_secs = []

@@ -248,6 +248,71 @@ class WaveCrawler:
                 self.frontier = self._commit(self.frontier.unionByName(df))
                 self._bloom_add(df)
 
+    def seed_frontier(self, urls: DataFrame, depth: int = 1) -> int:
+        """Distributed bulk seed — the 10^8-seed path (no driver loop).
+
+        ``urls`` carries a canonical ``url`` column (+ optional ``id``;
+        ids are assigned by url order otherwise). URL parts are derived
+        JVM-side with regexps — callers seeding a raw list should
+        canonicalize first (functions.urlkit.process_url semantics).
+        Returns the number of rows enqueued."""
+        cols = urls.columns
+        idc = F.col("id").cast("long") if "id" in cols else \
+            F.row_number().over(Window.orderBy("url")).cast("long") + \
+            F.lit(self.next_id)
+        proto = F.regexp_extract("url", r"^([a-z][a-z0-9+.-]*):", 1)
+        host = F.regexp_extract("url", r"^[a-z0-9+.-]+://([^/:?#]+)", 1)
+        port = F.coalesce(
+            F.nullif(F.regexp_extract("url", r"^[a-z0-9+.-]+://[^/:?#]+:(\d+)",
+                                      1), F.lit("")).cast("int"),
+            F.when(proto == "https", 443).otherwise(80))
+        path = F.coalesce(
+            F.nullif(F.regexp_extract("url", r"^[a-z0-9+.-]+://[^/?#]+(/[^#]*)",
+                                      1), F.lit("")), F.lit("/"))
+        df = urls.select(
+            idc.alias("id"), "url", proto.alias("protocol"),
+            host.alias("host"), port.alias("port"), path.alias("path"),
+            path.alias("uri_path"), F.lit(depth).cast("int").alias("depth"),
+            F.lit("").alias("referrer"), F.lit(False).alias("fetched"),
+            F.lit("queued").alias("status"),
+            F.lit(self.wave).cast("int").alias("wave"),
+            self._host_bucket_col(), F.lit(False).alias("is_seed_chain"),
+            F.lit(None).cast(FRONTIER_SCHEMA["state"].dataType).alias("state"))
+        if self.frontier is not None:
+            df = df.join(self.frontier.select("url"), "url", "left_anti")
+        df = df.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        added = {"n": 0}
+
+        def account(delta: DataFrame) -> dict:
+            # counters derive from the MATERIALIZED delta so the manifest
+            # (resume contract) carries post-seed state
+            agg = delta.agg(F.count("*").alias("n"),
+                            F.max("id").alias("mx")).first()
+            added["n"] = int(agg["n"] or 0)
+            self.next_id = max(self.next_id, int(agg["mx"] or -1) + 1)
+            self.queued_count = (self.queued_count or 0) + added["n"]
+            if added["n"]:
+                self._count("queueadd", added["n"])
+            return self._driver_state()
+
+        if self.store is not None:
+            committed = self.store.commit_wave(
+                self.wave, df, account, bloom=self.bloom)
+            base = committed if self.frontier is None \
+                else self.frontier.unionByName(committed)
+            self.frontier = self._commit(base)
+        else:
+            account(df)  # one extra pass over the anti-joined delta
+            base = df if self.frontier is None \
+                else self.frontier.unionByName(df)
+            self.frontier = self._commit(base)
+            if added["n"]:
+                self._bloom_add(self.frontier.filter(
+                    (F.col("wave") == self.wave) &
+                    (F.col("status") == "queued") & (F.col("referrer") == "")
+                    & ~F.col("is_seed_chain")))
+        return added["n"]
+
     def queue_url(self, url: str, referrer: Optional[dict] = None) -> None:
         """Manual enqueue between waves (queueURL API, crawler.ts:1483)."""
         ref_url = referrer["url"] if referrer else None
