@@ -278,6 +278,10 @@ SAME input at local[8] vs local[32].
 
 **Scaling efficiency** = T32 / (4 * T8) = **{eff:.3f}** (criterion: >= 0.8)
 
+Reference single-node ceiling: 4 req/s (1 fetch per 250 ms tick,
+/root/reference/src/crawler.ts:297,666) — the wave engine beats it by
+~{t8 / 4:.0f}x at 8 cores alone.
+
 Steady-state excludes wave 0 (python-worker spawn + codegen warmup — fixed
 cost, amortized to zero over a long crawl).
 

@@ -60,7 +60,10 @@ class CrawlerConfig:
     bloom_target_fpr: float = 0.01
     tokens_per_host_per_wave: Optional[int] = None  # None = unlimited (politeness off)
     max_waves: int = 1000
-    id_mode: str = "dense"            # 'dense' (reference-identical ids) | 'composite'
+    # ids are dense + reference-identical in both modes; 'composite' forces
+    # the distributed two-phase ranking (scale path, shuffles fresh rows
+    # only), 'dense' picks a single-partition window for small inputs
+    id_mode: str = "dense"
     record_fetch_log: bool = True     # collect per-wave fetch-start order (tests)
     shuffle_partitions: Optional[int] = None
 

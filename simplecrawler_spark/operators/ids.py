@@ -24,19 +24,22 @@ from pyspark import TaskContext
 
 def assign_dense_ids(df: DataFrame, order_cols: List[str], start: int,
                      out_col: str = "id", num_partitions: int = None,
-                     count_hint: int = None) -> DataFrame:
+                     count_hint: int = None):
     """Add ``out_col`` = start, start+1, ... following sort order of
-    ``order_cols``. Returns a DataFrame with the same columns plus the id.
+    ``order_cols``. Returns ``(DataFrame, total_or_None)`` — the two-phase
+    path knows the exact row count from its partition-count phase (one job
+    the caller would otherwise re-run); the window path returns None.
 
     ``count_hint`` (an upper bound on rows, if known) selects the cheap
     single-partition window for small inputs; the distributed two-phase
-    ranking kicks in above 100k rows.
+    ranking kicks in above 100k rows (or always when no hint is given).
     """
     if count_hint is not None and count_hint <= 100_000:
         from pyspark.sql import Window
         w = Window.orderBy(*order_cols)
         return df.coalesce(1).withColumn(
-            out_col, (F.row_number().over(w) + F.lit(start - 1)).cast("long"))
+            out_col,
+            (F.row_number().over(w) + F.lit(start - 1)).cast("long")), None
     spark = df.sparkSession
     n = num_partitions or max(spark.sparkContext.defaultParallelism, 1)
     sort_cols = [F.col(c) for c in order_cols]
@@ -78,6 +81,6 @@ def assign_dense_ids(df: DataFrame, order_cols: List[str], start: int,
         result = parted.mapInPandas(add_ids, out_schema)
         # materialization boundary so the unpersist below is safe
         result = result.localCheckpoint(eager=True)
-        return result
+        return result, acc - start
     finally:
         parted.unpersist()

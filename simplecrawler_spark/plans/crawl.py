@@ -756,30 +756,29 @@ class WaveCrawler:
                 else:
                     fresh = first_seen.join(frontier.select("url"),
                                             "url", "left_anti")
-                if cfg.id_mode == "composite":
-                    # scale path: order-isomorphic to (wave, referrer_id, pos)
-                    # without any global ranking pass. Layout: 12 bits wave |
-                    # 32 bits referrer id | 20 bits (pos + 2^19). FIFO order
-                    # is preserved wave-major; dense reference-identical ids
-                    # are available via id_mode='dense'.
-                    with_ids = fresh.withColumn(
-                        "id",
-                        F.expr(f"shiftleft(CAST({self.wave + 1} AS BIGINT), 52)"
-                               " | shiftleft(referrer_id & 4294967295, 20)"
-                               " | ((pos + 524288) & 1048575)"))
-                    n_new = None  # counted post-commit (cheap, checkpointed)
-                else:
-                    with_ids = assign_dense_ids(
+                # dense reference-identical ids in ALL modes. 'composite'
+                # (scale) always takes the distributed two-phase ranking —
+                # one range-shuffle of the FRESH rows only (≤ politeness
+                # budget per wave), whose count phase doubles as the
+                # queueadd counter. (A bit-packed wave|referrer|pos id was
+                # tried and abandoned: truncating 64-bit referrer ids to 32
+                # bits collides at wave≥2, and duplicate ids multiply the
+                # bodies⨝referrer join.)
+                with _timed("assign-ids"):
+                    with_ids, n_known = assign_dense_ids(
                         fresh, ["referrer_id", "pos"], self.next_id,
-                        count_hint=n_cand)
-                    if n_cand <= 100_000:
-                        with_ids = with_ids.persist()
-                        self._wave_caches.append(with_ids)
+                        count_hint=n_cand if cfg.id_mode != "composite"
+                        else None)
+                if n_known is not None:
+                    n_new = n_known
+                else:
+                    with_ids = with_ids.persist()
+                    self._wave_caches.append(with_ids)
                     with _timed("dense-id-count"):
                         n_new = with_ids.count()
-                    count("queueadd", n_new)
-                    count("queueduplicate", n_cand - n_new)
-                    self.next_id += n_new
+                count("queueadd", n_new)
+                count("queueduplicate", n_cand - n_new)
+                self.next_id += n_new
                 new_rows = with_ids.select(
                     "id", "url", "protocol", "host",
                     F.col("port").cast("int").alias("port"), "path", "uri_path",
@@ -820,14 +819,9 @@ class WaveCrawler:
                 else outcome.unionByName(new_rows)
             delta = delta.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
-            def finalize(committed: DataFrame) -> dict:
-                nonlocal n_new
-                if n_new is None:
-                    n_new = committed.filter(
-                        F.col("wave") == self.wave).count()
-                    count("queueadd", n_new)
-                    count("queueduplicate", n_cand - n_new)
-                    self.next_id += n_new
+            def finalize(_committed: DataFrame) -> dict:
+                # n_new is known pre-commit (dense-id count phase); only
+                # the queued-count bookkeeping happens at manifest time
                 n_due_total = stats["fetchstart"] + n_due_disallowed
                 if self.queued_count is not None:
                     self.queued_count = \
@@ -845,12 +839,6 @@ class WaveCrawler:
         else:
             with _timed("commit"):
                 self.frontier = self._commit(next_frontier)
-            if n_new is None:  # composite-id path: count new rows post-commit
-                with _timed("post-commit-count"):
-                    n_new = self.frontier.filter(
-                        F.col("wave") == self.wave).count()
-                count("queueadd", n_new)
-                count("queueduplicate", n_cand - n_new)
             n_due_total = stats["fetchstart"] + n_due_disallowed
             if self.queued_count is not None:
                 self.queued_count = self.queued_count - n_due_total + n_new
