@@ -58,6 +58,12 @@ class CrawlerConfig:
     # <store>/bloom when a SnapshotStore is attached.
     bloom_capacity_per_bucket: Optional[int] = None
     bloom_target_fpr: float = 0.01
+    # drop candidates whose (raw_url, referrer-resolution key) was already
+    # attempted in a previous wave BEFORE python canonicalization (exact
+    # anti-join — the frontier result is identical; cross-wave re-attempts
+    # are counted as queueduplicate instead of re-running their original
+    # reject classification). The dominant python cost at scale.
+    raw_url_prefilter: bool = False
     tokens_per_host_per_wave: Optional[int] = None  # None = unlimited (politeness off)
     max_waves: int = 1000
     # ids are dense + reference-identical in both modes; 'composite' forces

@@ -168,7 +168,7 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
             out["reject_reason"] = reasons
             yield out[["raw_url", "referrer_id", "pos", "referrer_url",
                        "referrer_depth", "is_seed_chain", "skip_depth_gate",
-                       "url", "protocol", "host", "port", "path", "uri_path",
-                       "depth", "reject_reason"]]
+                       "weight", "url", "protocol", "host", "port", "path",
+                       "uri_path", "depth", "reject_reason"]]
 
     return process

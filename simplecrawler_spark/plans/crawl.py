@@ -107,6 +107,9 @@ class WaveCrawler:
         self.next_id = 0
         self.queued_count: Optional[int] = None
         self._wave_caches: List[DataFrame] = []
+        # raw-URL-seen set for the pre-python prefilter (performance state
+        # only: resume starts empty and repopulates — exactness unaffected)
+        self._raw_seen: Optional[DataFrame] = None
         self.first_request_active = True   # _isFirstRequest, crawler.ts:597
         seed = process_url(config.initial_url, None, 0, config.url_options(),
                            initial_url=config.initial_url)
@@ -140,6 +143,53 @@ class WaveCrawler:
         bounds partition growth from per-wave unions (no shuffle)."""
         n = self.spark.sparkContext.defaultParallelism
         return df.coalesce(n).localCheckpoint(eager=True)
+
+    def _pre_dedupe(self, cand: DataFrame) -> DataFrame:
+        """Collapse identical discovered candidates BEFORE the python
+        canonicalizer — at 10^10-URL scale most candidate rows are repeats
+        of already-known links, and canonicalization is the wave's dominant
+        python cost. Keeps the first attempt (min referrer_id, pos) per key
+        and carries the group size as ``weight`` so event counters still
+        count every attempt (queueduplicate/junk/... exactly match the
+        per-row semantics).
+
+        Key choice preserves exactness: absolute raw URLs canonicalize
+        independently of their referrer, so they collapse on raw_url alone
+        when no referrer-sensitive gate is active (maxDepth, fetch
+        conditions); relative URLs and gated configs keep the full
+        (raw, referrer, depth, flags) key."""
+        cfg = self.config
+        raw_only = cfg.max_depth == 0 and not cfg.fetch_conditions
+        # one window, row-conditional key: absolute raws blank out the
+        # referrer part of the key when no referrer-sensitive gate is
+        # active. (A two-branch filter+union was tried first — it
+        # re-evaluates the python body pass once per branch.)
+        collapse = F.lit(raw_only) & \
+            F.col("raw_url").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+        key = [F.col("raw_url"),
+               F.when(collapse, F.lit("")).otherwise(
+                   F.coalesce(F.col("referrer_url"), F.lit(""))),
+               F.when(collapse, F.lit(-1)).otherwise(
+                   F.coalesce(F.col("referrer_depth"), F.lit(-2))),
+               F.col("is_seed_chain"), F.col("skip_depth_gate")]
+        w = Window.partitionBy(*key)
+        return (cand
+                .withColumn("weight", F.count("*").over(w))
+                .withColumn("__rn", F.row_number().over(
+                    w.orderBy("referrer_id", "pos")))
+                .filter("__rn = 1").drop("__rn"))
+
+    def _raw_key(self):
+        """Referrer-resolution key for the raw-seen prefilter: an absolute
+        raw URL canonicalizes independently of its referrer, so it collapses
+        to one key when no referrer-sensitive gate (maxDepth, fetch
+        conditions) is active; otherwise the referrer page is part of the
+        key, which keeps per-referrer gate verdicts exact."""
+        cfg = self.config
+        collapse = F.lit(cfg.max_depth == 0 and not cfg.fetch_conditions) & \
+            F.col("raw_url").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+        return F.when(collapse, F.lit("")).otherwise(
+            F.coalesce(F.col("referrer_url"), F.lit("")))
 
     def _bloom_add(self, delta: DataFrame) -> None:
         """OR freshly-enqueued URLs into the Bloom side table. Call sites pass
@@ -407,6 +457,7 @@ class WaveCrawler:
                     "pos": -1_000_000 + k, "referrer_url": robots_item["url"],
                     "referrer_depth": robots_item["depth"],
                     "is_seed_chain": False, "skip_depth_gate": True,
+                    "weight": 1,
                 })
         return candidates
 
@@ -682,9 +733,20 @@ class WaveCrawler:
                                   F.col("_pdepth").alias("referrer_depth"))
                           .withColumn("pos", F.col("pos").cast("long"))
                           .withColumn("is_seed_chain", F.lit(False))
-                          .withColumn("skip_depth_gate", F.lit(False))
-                          .select(*[f.name for f in CANDIDATE_SCHEMA.fields]))
-            cand_parts = [discovered]
+                          .withColumn("skip_depth_gate", F.lit(False)))
+            disc = self._pre_dedupe(discovered) \
+                .select(*[f.name for f in CANDIDATE_SCHEMA.fields])
+            if cfg.raw_url_prefilter:
+                # total attempts BEFORE the prefilter (cheap: bodies is
+                # persisted) — the dropped difference becomes queueduplicate
+                with _timed("prefilter-total"):
+                    n_disc_total = bodies.agg(
+                        F.sum(F.size("discovered"))).first()[0] or 0
+                if self._raw_seen is not None:
+                    disc = (disc.withColumn("__rk", self._raw_key())
+                            .join(self._raw_seen, ["raw_url", "__rk"],
+                                  "left_anti").drop("__rk"))
+            cand_parts = [disc]
         if stats["redirected"]:
             redirects = (resp.filter(F.col("_new_status") == "redirected")
                          .select(F.col("_location").alias("raw_url"),
@@ -693,7 +755,8 @@ class WaveCrawler:
                                  F.col("url").alias("referrer_url"),
                                  F.col("depth").alias("referrer_depth"),
                                  F.col("is_seed_chain"),
-                                 F.lit(True).alias("skip_depth_gate")))
+                                 F.lit(True).alias("skip_depth_gate"),
+                                 F.lit(1).cast("long").alias("weight")))
             if not self.first_request_active:
                 redirects = redirects.withColumn("is_seed_chain", F.lit(False))
             cand_parts.append(redirects)
@@ -715,6 +778,7 @@ class WaveCrawler:
         n_new = 0
         new_rows = None
         processed = None
+        n_disc_total = None
         if cand_parts:
             candidates = cand_parts[0]
             for p in cand_parts[1:]:
@@ -724,8 +788,13 @@ class WaveCrawler:
                 PROCESSED_CANDIDATE_SCHEMA).persist()
             n_cand = 0
             with _timed("candidate-reject-counts"):
-                reject_rows = processed.groupBy("reject_reason").count().collect()
+                # weighted by pre-dedupe multiplicity: every original
+                # attempt is counted, though only distinct keys ran python
+                reject_rows = processed.groupBy("reject_reason") \
+                    .agg(F.sum("weight").alias("count")).collect()
+            survivors_weighted = 0
             for r in reject_rows:
+                survivors_weighted += r["count"]
                 if r["reject_reason"] is None:
                     n_cand = r["count"]
                 else:
@@ -735,6 +804,20 @@ class WaveCrawler:
                            "fetchconditionerror": "fetchconditionerror",
                            "depthlimit": "depthlimit"}[r["reject_reason"]],
                           r["count"])
+            if n_disc_total is not None:
+                # attempts the prefilter dropped (seen in earlier waves) are
+                # duplicates of previously-attempted raws
+                n_other = stats["redirected"] + len(sitemap_candidates)
+                dropped = n_disc_total + n_other - survivors_weighted
+                if dropped > 0:
+                    count("queueduplicate", dropped)
+                # grow the raw-seen set with this wave's attempts
+                with _timed("raw-seen-update"):
+                    keys = processed.select(
+                        "raw_url", self._raw_key().alias("__rk")).distinct()
+                    if self._raw_seen is not None:
+                        keys = self._raw_seen.unionByName(keys).distinct()
+                    self._raw_seen = keys.localCheckpoint(eager=True)
             if n_cand:
                 accepted = processed.filter(F.col("reject_reason").isNull())
                 # within-wave ordered dedupe + seen-set anti-join (Q1/Q2/D3)

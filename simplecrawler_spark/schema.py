@@ -48,6 +48,9 @@ CANDIDATE_SCHEMA = T.StructType([
     T.StructField("referrer_depth", T.IntegerType()),
     T.StructField("is_seed_chain", T.BooleanType()),
     T.StructField("skip_depth_gate", T.BooleanType()),
+    # collapsed-duplicate multiplicity from the pre-canonicalization dedupe
+    # (event counters weight by it); 1 for non-deduped candidate sources
+    T.StructField("weight", T.LongType()),
 ])
 
 # canonicalized candidates (after the process_url/filter Arrow pass)

@@ -55,3 +55,35 @@ def test_seed_frontier_with_store_and_ids(spark, tmp_path):
     assert resumed.queued_count == c.queued_count
     assert resumed.next_id == c.next_id
     pages.unpersist()
+
+
+def test_raw_prefilter_frontier_identical(spark):
+    from simplecrawler_spark.config import CrawlerConfig as CC
+    cc = synth_cc_pages(spark, 300, 10)
+    pages = cc_to_crawl_pages(cc).cache()
+    pages.count()
+
+    def run(prefilter):
+        cfg = CC(initial_url="http://h0.test/p/0", filter_by_domain=False,
+                 respect_robots_txt=False, record_fetch_log=False,
+                 id_mode="composite", tokens_per_host_per_wave=64,
+                 max_waves=4, raw_url_prefilter=prefilter)
+        crawler = WaveCrawler(spark, pages, cfg, keep_content=False)
+        crawler.seed()
+        for _ in range(4):
+            if crawler.queued_count == 0:
+                break
+            crawler.run_wave()
+        return crawler
+
+    a, b = run(False), run(True)
+    snap = lambda c: sorted(
+        (r["id"], r["url"], r["status"], r["fetched"], r["depth"])
+        for r in c.frontier.collect())
+    assert snap(a) == snap(b)
+    assert a.events.get("queueadd") == b.events.get("queueadd")
+    # total attempts conserved: duplicates may be reclassified, not lost
+    total = lambda c: sum(c.events.get(k, 0) for k in
+                          ("queueadd", "queueduplicate", "junkurl"))
+    assert total(a) == total(b)
+    pages.unpersist()
