@@ -118,7 +118,8 @@ def crawl_bench(spark, sf: float):
         record_fetch_log=False,          # scale path: no driver collects
         tokens_per_host_per_wave=256,    # politeness budget ON
         host_buckets=max(CPUS * 4, 64),
-        id_mode="composite")
+        id_mode="composite",
+        raw_url_prefilter=True)
     crawler = WaveCrawler(spark, pages.drop("host_id", "page_id"), cfg,
                           keep_content=False)
     # seed frontier directly (distributed build, no driver loop)
