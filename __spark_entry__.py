@@ -281,6 +281,38 @@ def _ann_lsh_oracle() -> str:
     """
 
 
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via shared-bucket LSH join; sim is
+    not output (fold order differs between engines at the last ulp) — the
+    pair set at threshold 0.35 is the contract (synthetic embeddings are
+    near-orthogonal; max pairwise sim ~0.51)."""
+    from simplecrawler_spark.operators.similarity import cosine_near_dup_pairs
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    return (cosine_near_dup_pairs(emb, PLANES, threshold=0.35)
+            .select("vec_a", "vec_b").orderBy("vec_a", "vec_b"))
+
+
+def _embed_neardup_oracle() -> str:
+    emb = "list_transform(embedding, x -> x::DOUBLE)"
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product({emb}, "
+        f"[{', '.join(str(x) for x in plane)}]) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(PLANES))
+    return f"""
+        WITH b AS (
+          SELECT vec_id, {emb} AS emb, ({bucket})::BIGINT AS bucket
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, e.vec_id AS vec_b
+        FROM b a JOIN b e USING (bucket)
+        WHERE a.vec_id < e.vec_id
+          AND list_cosine_similarity(a.emb, e.emb) >= 0.35
+        ORDER BY vec_a, vec_b
+    """
+
+
 def q_ann_lsh(spark, sf_dir):
     """IVF/LSH-style scale path: hyperplane-sign buckets, join on bucket.
     Oracle: the same bucketing + ranking in DuckDB SQL (plane literals
@@ -352,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "embed_neardup": q_embed_neardup,
         "multimodal_features": q_multimodal_features,
         "cc_extract": q_cc_extract,
     }
@@ -548,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "ann_lsh": _ann_lsh_oracle(),
+        "embed_neardup": _embed_neardup_oracle(),
         "multimodal_features": """
             SELECT doc_id,
                    octet_length(encode(text))::BIGINT AS n_bytes,

@@ -71,3 +71,23 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "vec_id", "sim", "rank"))
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, planes: List[List[float]],
+                          threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup family):
+    candidate pairs share an LSH hyperplane bucket (single probe — the
+    shuffle joins |bucket| sized groups, never the full cross product),
+    kept when cosine >= threshold. (vec_a < vec_b, sim)."""
+    b = hyperplane_buckets(embeddings, planes)
+    left = b.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("emb_a"), "bucket")
+    right = b.select(F.col("vec_id").alias("vec_b"),
+                     F.col("embedding").alias("emb_b"), "bucket")
+    sim = (_dot(F.col("emb_a"), F.col("emb_b"))
+           / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))))
+    return (left.join(right, "bucket")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select("vec_a", "vec_b", "sim"))
