@@ -697,6 +697,10 @@ class WaveCrawler:
 
         # ------------------------------------ body pipeline (T1/T2/D1-D3)
         bodies = None
+        n_disc_total = None  # set on the prefilter path (bodies agg below);
+        # read by the accounting block after candidate processing — this is
+        # the SINGLE initialization (a later re-init once made the whole
+        # prefilter dead code)
         if stats["downloaded"]:
             dl = resp.filter(F.col("_new_status") == "downloaded") \
                      .withColumn("do_discover", mime_ok)
@@ -716,9 +720,16 @@ class WaveCrawler:
             else:
                 bodies = bodies.persist()
                 self._wave_caches.append(bodies)
-            if n_compressed:
-                with _timed("gzip-count"):
-                    count("gziperror", bodies.filter("gzip_error").count())
+            # one bodies pass serves both counters (fewer driver barriers)
+            if n_compressed or cfg.raw_url_prefilter:
+                with _timed("bodies-agg"):
+                    ba = bodies.agg(
+                        F.count_if(F.col("gzip_error")).alias("gz"),
+                        F.sum(F.size("discovered")).alias("nd")).first()
+                if n_compressed:
+                    count("gziperror", int(ba["gz"] or 0))
+                if cfg.raw_url_prefilter:
+                    n_disc_total = int(ba["nd"] or 0)
 
         # ---------------------------------------- candidates (D4/R1/S3)
         cand_parts = []
@@ -737,11 +748,9 @@ class WaveCrawler:
             disc = self._pre_dedupe(discovered) \
                 .select(*[f.name for f in CANDIDATE_SCHEMA.fields])
             if cfg.raw_url_prefilter:
-                # total attempts BEFORE the prefilter (cheap: bodies is
-                # persisted) — the dropped difference becomes queueduplicate
-                with _timed("prefilter-total"):
-                    n_disc_total = bodies.agg(
-                        F.sum(F.size("discovered"))).first()[0] or 0
+                # n_disc_total (attempts BEFORE the prefilter) was computed
+                # in the bodies agg above; the dropped difference becomes
+                # queueduplicate in the accounting block below
                 if self._raw_seen is not None:
                     disc = (disc.withColumn("__rk", self._raw_key())
                             .join(self._raw_seen, ["raw_url", "__rk"],
@@ -778,7 +787,6 @@ class WaveCrawler:
         n_new = 0
         new_rows = None
         processed = None
-        n_disc_total = None
         if cand_parts:
             candidates = cand_parts[0]
             for p in cand_parts[1:]:
@@ -791,8 +799,13 @@ class WaveCrawler:
                 # weighted by pre-dedupe multiplicity: every original
                 # attempt is counted, though only distinct keys ran python
                 reject_rows = processed.groupBy("reject_reason") \
-                    .agg(F.sum("weight").alias("count")).collect()
+                    .agg(F.sum("weight").alias("count"),
+                         F.count("*").alias("rows")).collect()
             survivors_weighted = 0
+            # rows that actually ran the python canonicalizer this wave
+            # (post pre-dedupe, post raw-seen prefilter) — perf telemetry
+            wave_events["python_candidates"] = sum(
+                int(r["rows"]) for r in reject_rows)
             for r in reject_rows:
                 survivors_weighted += r["count"]
                 if r["reject_reason"] is None:

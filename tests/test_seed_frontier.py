@@ -62,9 +62,13 @@ def test_raw_prefilter_frontier_identical(spark):
     cc = synth_cc_pages(spark, 300, 10)
     pages = cc_to_crawl_pages(cc).cache()
     pages.count()
+    # seed with a URL that actually exists in the corpus so the crawl
+    # discovers links for several waves (http://h0.test/p/0 may 404:
+    # host_of(0) need not be 0)
+    seed_url = cc.orderBy("url").first()["url"]
 
     def run(prefilter):
-        cfg = CC(initial_url="http://h0.test/p/0", filter_by_domain=False,
+        cfg = CC(initial_url=seed_url, filter_by_domain=False,
                  respect_robots_txt=False, record_fetch_log=False,
                  id_mode="composite", tokens_per_host_per_wave=64,
                  max_waves=4, raw_url_prefilter=prefilter)
@@ -86,4 +90,12 @@ def test_raw_prefilter_frontier_identical(spark):
     total = lambda c: sum(c.events.get(k, 0) for k in
                           ("queueadd", "queueduplicate", "junkurl"))
     assert total(a) == total(b)
+    # the prefilter must actually be LIVE: the raw-seen set is populated and
+    # later waves push strictly fewer rows through the python canonicalizer
+    assert b._raw_seen is not None and b._raw_seen.count() > 0
+    assert a._raw_seen is None
+    pc = lambda c: [m.get("python_candidates", 0) for m in c.metrics]
+    assert len(pc(a)) == len(pc(b)) and len(pc(b)) >= 3
+    assert sum(pc(b)[1:]) < sum(pc(a)[1:]), (pc(a), pc(b))
+    assert all(x <= y for x, y in zip(pc(b), pc(a)))
     pages.unpersist()
