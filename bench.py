@@ -61,11 +61,14 @@ def make_session(cpus: int):
             .getOrCreate())
 
 
-def synth_pages(spark, n_pages: int, n_hosts: int, links_per_page: int = 6):
+def synth_pages(spark, n_pages: int, n_hosts: int, links_per_page: int = 6,
+                with_robots: bool = False):
     """Deterministic CC-style pages table with power-law hosts.
 
     host(id) = floor(u(id)^3 * n_hosts) with u = uniform hash — host 0 ends
-    up ~10x hotter than the median host, exercising skew handling."""
+    up ~10x hotter than the median host, exercising skew handling.
+    ``with_robots``: even hosts serve a robots.txt with one Disallow rule;
+    odd hosts 404 it (robotstxterror path)."""
     from pyspark.sql import functions as F
 
     def host_of(idcol):
@@ -82,7 +85,7 @@ def synth_pages(spark, n_pages: int, n_hosts: int, links_per_page: int = 6):
                      F.lit(".test/p/"), tgt.cast("string"), F.lit("'>l</a> ")))
     html = F.concat(F.lit("<html><body>"), *link_parts,
                     F.lit("</body></html>"))
-    return df.select(
+    out = df.select(
         F.concat(F.lit("http://h"), F.col("host_id").cast("string"),
                  F.lit(".test/p/"), F.col("id").cast("string")).alias("url"),
         F.lit(200).alias("status"),
@@ -96,10 +99,36 @@ def synth_pages(spark, n_pages: int, n_hosts: int, links_per_page: int = 6):
         F.lit(None).cast("string").alias("last_modified"),
         F.lit(False).alias("hang"),
         F.col("host_id"), F.col("id").alias("page_id"))
+    if with_robots:
+        from pyspark.sql import functions as F
+        rbody = F.concat(F.lit("User-agent: *\nDisallow: /p/"),
+                         (F.col("id") % 10).cast("string"), F.lit("\n"))
+        robots = (spark.range(n_hosts).filter(F.col("id") % 2 == 0)
+                  .select(
+                      F.concat(F.lit("http://h"), F.col("id").cast("string"),
+                               F.lit(".test/robots.txt")).alias("url"),
+                      F.lit(200).alias("status"),
+                      F.encode(rbody, "utf-8").alias("html"),
+                      F.lit("text/plain").alias("content_type"),
+                      F.lit(None).cast("string").alias("content_encoding"),
+                      F.length(rbody).cast("long").alias("content_length"),
+                      F.lit(None).cast("string").alias("location"),
+                      F.lit(None).cast("string").alias("set_cookie"),
+                      F.lit(None).cast("string").alias("etag"),
+                      F.lit(None).cast("string").alias("last_modified"),
+                      F.lit(False).alias("hang"),
+                      F.col("id").alias("host_id"),
+                      F.lit(-1).cast("long").alias("page_id")))
+        out = out.unionByName(robots)
+    return out
 
 
-def crawl_bench(spark, sf: float):
-    """Wave-engine throughput on the synthetic frontier: URLs processed/sec."""
+def crawl_bench(spark, sf: float, respect_robots: bool = False):
+    """Wave-engine throughput on the synthetic frontier: URLs processed/sec.
+
+    ``respect_robots=True`` runs the full batched robots pipeline (one
+    broadcast join per wave fetching all new origins' robots.txt, Arrow
+    decode, origin-indexed verdicts)."""
     from pyspark.sql import functions as F
     from simplecrawler_spark.config import CrawlerConfig
     from simplecrawler_spark.plans.crawl import WaveCrawler
@@ -108,13 +137,14 @@ def crawl_bench(spark, sf: float):
     n_pages = max(int(N_PAGES_PER_SF * sf), 10_000)
     n_hosts = max(int(n_pages * N_HOSTS_FRAC), 16)
     n_seeds = max(int(n_pages * SEED_FRAC), 100)
-    pages = synth_pages(spark, n_pages, n_hosts).persist()
+    pages = synth_pages(spark, n_pages, n_hosts,
+                        with_robots=respect_robots).persist()
     pages.count()
 
     cfg = CrawlerConfig(
         initial_url="http://h0.test/p/0",
         filter_by_domain=False,          # whole-web crawl
-        respect_robots_txt=False,        # robots side-table path; see store
+        respect_robots_txt=respect_robots,
         record_fetch_log=False,          # scale path: no driver collects
         tokens_per_host_per_wave=256,    # politeness budget ON
         host_buckets=max(CPUS * 4, 64),
@@ -196,6 +226,13 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     times["crawl_waves"] = round(time.time() - t0, 3)
     total += times["crawl_waves"]
 
+    # same crawl with the batched robots pipeline ON (fetch+parse robots.txt
+    # for every new origin, origin-indexed verdicts per candidate)
+    t0 = time.time()
+    crawl_robots = crawl_bench(spark, sf if sf else 0.01, respect_robots=True)
+    times["crawl_waves_robots"] = round(time.time() - t0, 3)
+    total += times["crawl_waves_robots"]
+
     result = {
         "metric": "frontier URLs processed/sec per wave (+ headline query secs)",
         "value": round(total, 3),
@@ -204,7 +241,13 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         "sf": sf,
         "cpus": cpus,
         "crawl_urls_per_sec": crawl["urls_per_sec"],
+        "crawl_robots_urls_per_sec": crawl_robots["urls_per_sec"],
+        "robots_overhead_x": round(
+            crawl["urls_per_sec_steady"]
+            / crawl_robots["urls_per_sec_steady"], 3)
+        if crawl_robots["urls_per_sec_steady"] else None,
         "crawl": crawl,
+        "crawl_robots": crawl_robots,
     }
     spark.stop()
     return result

@@ -114,7 +114,8 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
         domain_whitelist=list(config.domain_whitelist),
     )
     store = RobotsStore(config.user_agent)
-    store.files = robots_files
+    for rf in robots_files:
+        store.add(rf)  # populates the origin index (never assign .files)
     max_depth = config.max_depth
     fetch_conditions = config.fetch_conditions
     respect_robots = config.respect_robots_txt

@@ -244,7 +244,8 @@ class WaveCrawler:
         c.crawl_host = state["crawl_host"]
         c.first_request_active = state["first_request_active"]
         c.events = dict(state.get("events", {}))
-        c.robots.touched_hosts = list(state["touched"])
+        for origin in state["touched"]:
+            c.robots.touch(origin)  # rebuilds the touched set + order
         for r in state["robots"]:
             c.robots.add(parse_robots(r["url"], r["body"]))
         for k in state["cookies"]:
@@ -393,55 +394,98 @@ class WaveCrawler:
             self._count("queueduplicate", 1)
 
     # ------------------------------------------------------------ robots (S3)
-    def _fetch_robots_body(self, robots_url: str, hops: int = 0) -> Optional[str]:
-        """Simulated getRobotsTxt (crawler.ts:1368-1473): lookup the pages
-        table, follow redirects (domain-gated), unzip + decode."""
+    def _fetch_robots_batch(self, pairs: List[tuple]) -> Dict[str, Optional[str]]:
+        """Batched getRobotsTxt (crawler.ts:1368-1473): ONE broadcast join
+        against the pages table per redirect round (≤6 rounds, typically 1),
+        with unzip + charset decode executor-side in an Arrow pass. The old
+        shape — one driver job + full pages scan per new host — was the #1
+        scale-killer at 10^6+ hosts.
+
+        ``pairs``: (origin, robots_url). Returns origin → decoded body, or
+        None (missing / non-2xx chain / gzip error / domain-gated redirect
+        → robotstxterror at the call site), exactly matching the recursive
+        per-host semantics."""
         from ..functions.filters import DomainRules, domain_valid
-        if hops > 5:
-            return None
-        rows = self.pages.filter(F.col("url") == robots_url).collect()
-        if not rows:
-            return None
-        r = rows[0]
-        code = r["status"]
-        if 200 <= code < 300:
-            body = bytes(r["html"]) if r["html"] is not None else b""
-            enc = r["content_encoding"] or ""
-            if "gzip" in enc or "deflate" in enc:
-                out, err = unzip(body)
-                if err:
-                    return None
-                body = out
-            return decode_buffer(body, r["content_type"] or "")
-        if 300 <= code < 400 and r["location"]:
-            from ..functions.uriref import Uri
-            try:
-                target = Uri(r["location"]).absolute_to(robots_url).normalize()
-            except Exception:
-                return None
-            rules = DomainRules(host=self.crawl_host,
-                                filter_by_domain=self.config.filter_by_domain,
-                                ignore_www_domain=self.config.ignore_www_domain,
-                                scan_subdomains=self.config.scan_subdomains,
-                                domain_whitelist=list(self.config.domain_whitelist))
-            if not domain_valid(target.hostname(), rules):
-                return None
-            return self._fetch_robots_body(target.href(), hops + 1)
-        return None
+        from ..functions.uriref import Uri
+        out: Dict[str, Optional[str]] = {origin: None for origin, _ in pairs}
+        rules = DomainRules(host=self.crawl_host,
+                            filter_by_domain=self.config.filter_by_domain,
+                            ignore_www_domain=self.config.ignore_www_domain,
+                            scan_subdomains=self.config.scan_subdomains,
+                            domain_whitelist=list(self.config.domain_whitelist))
+
+        def finish(batches):
+            for pdf in batches:
+                texts = []
+                for code, html, ctype, cenc in zip(
+                        pdf["status"], pdf["html"], pdf["content_type"],
+                        pdf["content_encoding"]):
+                    if not (200 <= code < 300):
+                        texts.append(None)
+                        continue
+                    body = bytes(html) if html is not None else b""
+                    if "gzip" in (cenc or "") or "deflate" in (cenc or ""):
+                        unzipped, err = unzip(body)
+                        body = None if err else unzipped
+                    texts.append(None if body is None else
+                                 decode_buffer(body, ctype or ""))
+                res = pdf[["origin", "url", "location"]].copy()
+                res["status"] = pdf["status"].astype("int32")
+                res["body"] = texts
+                yield res
+
+        current = list(pairs)  # (origin, url-to-fetch) still unresolved
+        for _hop in range(6):
+            if not current:
+                break
+            want = self.spark.createDataFrame(
+                current, "origin string, url string")
+            hit = (self.pages.join(F.broadcast(want), "url")
+                   .select("origin", "url",
+                           F.col("status").cast("int").alias("status"),
+                           "html", "content_type", "content_encoding",
+                           "location"))
+            rows = hit.mapInPandas(
+                finish, "origin string, url string, location string, "
+                        "status int, body string").collect()
+            got = {r["origin"]: r for r in rows}
+            nxt = []
+            for origin, url in current:
+                r = got.get(origin)
+                if r is None:
+                    continue  # missing page ⇒ no robots (testserver 404)
+                if 200 <= r["status"] < 300:
+                    out[origin] = r["body"]
+                elif 300 <= r["status"] < 400 and r["location"]:
+                    try:
+                        target = Uri(r["location"]).absolute_to(url).normalize()
+                    except Exception:
+                        continue
+                    if domain_valid(target.hostname(), rules):
+                        nxt.append((origin, target.href()))
+            current = nxt
+        return out
 
     def _robots_from_triggers(self, triggers: List[tuple]) -> List[dict]:
         """Per new host origin (touch order = trigger id order): fetch+parse
-        robots.txt, emit sitemap candidates (crawler.ts:1296-1335).
+        robots.txt, emit sitemap candidates (crawler.ts:1296-1335). Fetching
+        is batched across all new origins (_fetch_robots_batch); parse +
+        store updates run driver-side in touch order for ordering parity.
 
         ``triggers``: (id, depth, url, protocol, host, port) of the first due
         item per origin."""
-        candidates: List[dict] = []
+        pending: List[tuple] = []
         for (tid, tdepth, turl, proto, host, port) in sorted(triggers):
             origin = _origin_url(proto, host, port)
             if not self.robots.touch(origin):
                 continue
-            robots_url = origin + "/robots.txt"
-            body = self._fetch_robots_body(robots_url)
+            pending.append((tid, tdepth, turl, origin, origin + "/robots.txt"))
+        if not pending:
+            return []
+        bodies = self._fetch_robots_batch([(p[3], p[4]) for p in pending])
+        candidates: List[dict] = []
+        for (tid, tdepth, turl, origin, robots_url) in pending:
+            body = bodies.get(origin)
             if body is None:
                 self._count("robotstxterror", 1)
                 continue

@@ -53,8 +53,14 @@ def host_of(idcol, n_hosts: int):
 
 
 def synth_cc_pages(spark: SparkSession, n_pages: int, n_hosts: int,
-                   links_per_page: int = 6) -> DataFrame:
-    """Deterministic CC-style corpus; html ⟷ text consistent by construction."""
+                   links_per_page: int = 6,
+                   with_robots: bool = False) -> DataFrame:
+    """Deterministic CC-style corpus; html ⟷ text consistent by construction.
+
+    ``with_robots=True`` appends one robots.txt row per EVEN host id
+    (User-agent: * / Disallow: /p/<host%10>) — odd hosts 404 their robots
+    fetch, exercising the robotstxterror path; even hosts reject a slice of
+    their pages, exercising the disallow path."""
     df = (spark.range(n_pages)
           .withColumn("host_id", host_of(F.col("id"), n_hosts))
           .withColumn("__lang_ix",
@@ -89,7 +95,7 @@ def synth_cc_pages(spark: SparkSession, n_pages: int, n_hosts: int,
         *links, F.lit("</body></html>"))
     html = F.when(F.col("id") % 2 == 0, F.encode(page, "UTF-8")) \
             .otherwise(F.encode(page, "ISO-8859-1"))
-    return df.select(
+    out = df.select(
         F.concat(F.lit("http://h"), F.col("host_id").cast("string"),
                  F.lit(".test/p/"), F.col("id").cast("string")).alias("url"),
         (F.to_timestamp(F.lit(_EPOCH)) +
@@ -97,6 +103,19 @@ def synth_cc_pages(spark: SparkSession, n_pages: int, n_hosts: int,
         html.alias("html"),
         page.alias("text"),
         lang.alias("lang"))
+    if with_robots:
+        rbody = F.concat(F.lit("User-agent: *\nDisallow: /p/"),
+                         (F.col("id") % 10).cast("string"), F.lit("\n"))
+        robots = (spark.range(n_hosts).filter(F.col("id") % 2 == 0)
+                  .select(
+                      F.concat(F.lit("http://h"), F.col("id").cast("string"),
+                               F.lit(".test/robots.txt")).alias("url"),
+                      F.to_timestamp(F.lit(_EPOCH)).alias("warc_ts"),
+                      F.encode(rbody, "UTF-8").alias("html"),
+                      rbody.alias("text"),
+                      F.lit("en").alias("lang")))
+        out = out.unionByName(robots)
+    return out
 
 
 def cc_to_crawl_pages(cc: DataFrame) -> DataFrame:
