@@ -49,13 +49,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------- crawl
 def q_fifo_politeness(spark, sf_dir):
     """C1/Q5: FIFO due-selection with a per-host token budget (3/wave) over
-    a frontier derived from the events table."""
+    a frontier derived from the events table — runs the production
+    skew-safe two-phase select_due operator; the oracle is the equivalent
+    single-window SQL rank (two-phase top-k is exact)."""
+    from simplecrawler_spark.operators.politeness import select_due
     frontier = _t(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
-        F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias("host"))
+        F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias("host"),
+        F.lit("queued").alias("status"))
+    due = select_due(frontier, tokens_per_host=3)
     w = Window.partitionBy("host").orderBy("id")
-    return (frontier.withColumn("rk", F.row_number().over(w).cast("long"))
-            .filter(F.col("rk") <= 3)
+    return (due.withColumn("rk", F.row_number().over(w).cast("long"))
             .select("id", "host", "rk"))
 
 

@@ -7,10 +7,15 @@ per-host politeness interval; the wave engine generalizes it: each wave
 grants each host ``tokens`` fetches, taken in FIFO (id) order. Excess rows
 stay ``queued`` for later waves.
 
-Scale notes: the ranking window shuffles only ``status == 'queued'`` rows
-(filter is pushed below the exchange); hot hosts skew the *fetch* stage, not
-this ranking, and the fetch stage re-partitions on (host_bucket, id) salt —
-see WaveCrawler. AQE skew-join handles the join side.
+Scale notes: the ranking is a two-phase top-k so a hot host holding half a
+10^10-row frontier never sorts in one task. Phase 1 pre-ranks within
+``(host, id % salt)`` groups — each group keeps at most ``tokens`` rows, so
+at most ``salt * tokens`` rows per host survive to phase 2's exact per-host
+rank. Phase 1 is exact-preserving: any id among a host's overall ``tokens``
+smallest has at most ``tokens - 1`` smaller ids in its own salt group, so it
+always survives the pre-cut. Both phases shuffle only ``status == 'queued'``
+rows (the filter is pushed below the exchange), and the phase-2 input is
+bounded by ``salt * tokens`` rows per host regardless of frontier size.
 """
 
 from __future__ import annotations
@@ -19,14 +24,32 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# salt width for the phase-1 pre-rank: a 50%-of-frontier host spreads over
+# 64 sort groups (each ~0.8% of rows, so hash collisions into shuffle
+# partitions stay near-uniform) while the phase-2 survivor set stays tiny
+# (≤ 64 * tokens rows per host)
+DEFAULT_RANK_SALT = 64
 
-def select_due(frontier: DataFrame, tokens_per_host: Optional[int]) -> DataFrame:
+
+def select_due(frontier: DataFrame, tokens_per_host: Optional[int],
+               salt: int = DEFAULT_RANK_SALT) -> DataFrame:
     """FIFO head selection (Q5 generalized): all queued rows, optionally
-    budget-capped per host in id order."""
+    budget-capped per host in id order via a skew-safe two-phase top-k."""
     queued = frontier.filter(F.col("status") == "queued")
     if tokens_per_host is None:
         return queued
-    w = Window.partitionBy("host").orderBy("id")
-    return (queued.withColumn("__rk", F.row_number().over(w))
-                  .filter(F.col("__rk") <= tokens_per_host)
-                  .drop("__rk"))
+    # phase 1: pre-rank within (host, xxhash64(id) % salt) groups — bounds
+    # any single task's sort to ~1/salt of a hot host's rows. Hashing the id
+    # (rather than id % salt) keeps groups uniform even when a host's ids
+    # share arithmetic structure (e.g. per-wave striding). Any deterministic
+    # grouping preserves exactness: a top-`tokens` id has at most tokens-1
+    # smaller ids in whatever group it lands in.
+    w1 = Window.partitionBy(
+        "host", F.pmod(F.xxhash64(F.col("id")), F.lit(salt))).orderBy("id")
+    pre = (queued.withColumn("__rk", F.row_number().over(w1))
+                 .filter(F.col("__rk") <= tokens_per_host).drop("__rk"))
+    # phase 2: exact per-host rank over ≤ salt*tokens survivors per host
+    w2 = Window.partitionBy("host").orderBy("id")
+    return (pre.withColumn("__rk", F.row_number().over(w2))
+               .filter(F.col("__rk") <= tokens_per_host)
+               .drop("__rk"))

@@ -7,7 +7,8 @@ rows across partitions."""
 
 from pyspark.sql import functions as F
 
-from simplecrawler_spark.operators.politeness import select_due
+from simplecrawler_spark.operators.politeness import (DEFAULT_RANK_SALT,
+                                                      select_due)
 
 
 def _skewed_frontier(spark, n=10_000, buckets=64):
@@ -43,6 +44,45 @@ def test_unlimited_budget_returns_all_queued(spark):
         "status", F.when(F.col("id") % 10 == 0, "downloaded")
         .otherwise("queued"))
     assert select_due(mixed, None).count() == 900
+
+
+def test_ranking_stage_skew_safe(spark):
+    """The RANKING stage itself (not just the fetch stage) must not sort a
+    hot host in one task: phase 1 of the two-phase top-k partitions by
+    (host, id % salt), so a host holding 50% of a large frontier spreads
+    over `salt` sort groups. Asserted on the pre-cut exchange layout via
+    spark_partition_id, plus exactness of the selected FIFO heads."""
+    n, tokens = 4_000_000, 256
+    frontier = _skewed_frontier(spark, n=n)
+    due = select_due(frontier, tokens_per_host=tokens).cache()
+    per_host = {r["host"]: r["n"] for r in
+                due.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host["hot.test"] == tokens
+    assert all(v == tokens for v in per_host.values())
+    # exact FIFO heads: hot rows are the even ids, so its budget is the
+    # first `tokens` evens; cold host k holds ids ≡ k (mod 50) among odds
+    hot_ids = sorted(r["id"] for r in
+                     due.filter("host = 'hot.test'").collect())
+    assert hot_ids == list(range(0, 2 * tokens, 2))
+    due.unpersist()
+
+    # pre-cut exchange layout of phase 1: same hash-partitioning exprs the
+    # ranking window uses — no task may see >2x the mean row count even
+    # though one host owns half the frontier
+    parts = (frontier.filter("status = 'queued'")
+             .repartition(32, "host", F.pmod(F.xxhash64(F.col("id")),
+                                             F.lit(DEFAULT_RANK_SALT)))
+             .withColumn("__pid", F.spark_partition_id())
+             .groupBy("__pid").agg(
+                 F.count("*").alias("n"),
+                 F.sum(F.when(F.col("host") == "hot.test", 1).otherwise(0))
+                 .alias("hot_n"))
+             .collect())
+    sizes = [r["n"] for r in parts]
+    assert max(sizes) <= 2.0 * (sum(sizes) / len(sizes))
+    # the hot host's rows are genuinely split across sort groups
+    hot = [r["hot_n"] for r in parts if r["hot_n"]]
+    assert max(hot) <= 0.25 * sum(hot)
 
 
 def test_salted_repartition_balances_hot_host(spark):
