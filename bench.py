@@ -172,6 +172,9 @@ def crawl_bench(spark, sf: float, respect_robots: bool = False):
     crawler.frontier = seeds.localCheckpoint(eager=True)
     crawler.next_id = n_pages + 1
     crawler.queued_count = crawler.frontier.count()
+    # bulk-seeded frontier has no seed-chain row: the first-request special
+    # case (P11) never applies, so waves run the fused single-action path
+    crawler.first_request_active = False
 
     wave_secs = []
     t0 = time.time()

@@ -19,12 +19,11 @@ from typing import Iterator, List
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark import TaskContext
 
 
 def assign_dense_ids(df: DataFrame, order_cols: List[str], start: int,
                      out_col: str = "id", num_partitions: int = None,
-                     count_hint: int = None):
+                     count_hint: int = None, cache_registry: list = None):
     """Add ``out_col`` = start, start+1, ... following sort order of
     ``order_cols``. Returns ``(DataFrame, total_or_None)`` — the two-phase
     path knows the exact row count from its partition-count phase (one job
@@ -33,6 +32,12 @@ def assign_dense_ids(df: DataFrame, order_cols: List[str], start: int,
     ``count_hint`` (an upper bound on rows, if known) selects the cheap
     single-partition window for small inputs; the distributed two-phase
     ranking kicks in above 100k rows (or always when no hint is given).
+
+    ``cache_registry``: when given, the id-assignment pass is returned LAZY
+    (no localCheckpoint job — the caller's own materialization boundary,
+    e.g. the wave commit, evaluates it once) and the persisted sort-phase
+    DataFrame is appended to the registry for the caller to unpersist
+    after that boundary. Saves one driver barrier per wave.
     """
     if count_hint is not None and count_hint <= 100_000:
         from pyspark.sql import Window
@@ -43,44 +48,50 @@ def assign_dense_ids(df: DataFrame, order_cols: List[str], start: int,
     spark = df.sparkSession
     n = num_partitions or max(spark.sparkContext.defaultParallelism, 1)
     sort_cols = [F.col(c) for c in order_cols]
+    # __pid is embedded as DATA on the persisted sort phase (not read from
+    # TaskContext at id-assignment time): when the lazy result is unioned
+    # into a larger plan, union renumbers task partition ids, which silently
+    # shifted every offset lookup — data-embedded ids are immune. Range
+    # partitioning assigns ascending key ranges to ascending partition ids,
+    # so cumulative offsets in __pid order follow the sort order.
     parted = (df.repartitionByRange(n, *sort_cols)
-                .sortWithinPartitions(*sort_cols))
+                .sortWithinPartitions(*sort_cols)
+                .withColumn("__pid", F.spark_partition_id()))
     parted = parted.persist()
     try:
-        # phase 1: per-partition counts (cheap: count aggregation only)
-        counts_schema = "pid int, cnt long"
-
-        def count_parts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            pid = TaskContext.get().partitionId()
-            total = 0
-            for pdf in it:
-                total += len(pdf)
-            yield pd.DataFrame({"pid": [pid], "cnt": [total]})
-
-        counts = {r["pid"]: r["cnt"]
-                  for r in parted.mapInPandas(count_parts, counts_schema).collect()}
+        # phase 1: per-partition counts — pure JVM agg, no python pass
+        counts = {r["__pid"]: r["cnt"] for r in
+                  parted.groupBy("__pid").agg(F.count("*").alias("cnt"))
+                  .collect()}
         offsets = {}
         acc = start
-        for pid in range(n):
+        for pid in sorted(counts):
             offsets[pid] = acc
-            acc += counts.get(pid, 0)
+            acc += counts[pid]
 
         out_schema = ", ".join(
             [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
             + [f"{out_col} long"])
 
         def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            pid = TaskContext.get().partitionId()
-            off = offsets.get(pid, 0)
+            off = None
             for pdf in it:
-                pdf = pdf.copy()
+                if not len(pdf):
+                    continue
+                if off is None:
+                    off = offsets[int(pdf["__pid"].iloc[0])]
+                pdf = pdf.drop(columns="__pid")
                 pdf[out_col] = range(off, off + len(pdf))
                 off += len(pdf)
                 yield pdf
 
         result = parted.mapInPandas(add_ids, out_schema)
+        if cache_registry is not None:
+            cache_registry.append(parted)
+            return result, acc - start
         # materialization boundary so the unpersist below is safe
         result = result.localCheckpoint(eager=True)
         return result, acc - start
     finally:
-        parted.unpersist()
+        if cache_registry is None:
+            parted.unpersist()

@@ -308,9 +308,18 @@ class WaveCrawler:
         canonicalize first (functions.urlkit.process_url semantics).
         Returns the number of rows enqueued."""
         cols = urls.columns
-        idc = F.col("id").cast("long") if "id" in cols else \
-            F.row_number().over(Window.orderBy("url")).cast("long") + \
-            F.lit(self.next_id)
+        if self.frontier is None:
+            # pure bulk seed: no seed-chain row exists, so the first-request
+            # special case (P11) can never trigger — unlock the fused wave
+            # path immediately
+            self.first_request_active = False
+        if "id" in cols:
+            urls = urls.withColumn("id", F.col("id").cast("long"))
+        else:
+            # distributed two-phase ranking (url order) — never a
+            # single-partition global-sort window on the 10^8-seed path
+            urls, _ = assign_dense_ids(urls, ["url"], self.next_id)
+        idc = F.col("id")
         proto = F.regexp_extract("url", r"^([a-z][a-z0-9+.-]*):", 1)
         host = F.regexp_extract("url", r"^[a-z0-9+.-]+://([^/:?#]+)", 1)
         port = F.coalesce(
@@ -364,8 +373,18 @@ class WaveCrawler:
                     & ~F.col("is_seed_chain")))
         return added["n"]
 
-    def queue_url(self, url: str, referrer: Optional[dict] = None) -> None:
-        """Manual enqueue between waves (queueURL API, crawler.ts:1483)."""
+    def queue_url(self, url: str, referrer: Optional[dict] = None,
+                  force: bool = False) -> None:
+        """Manual enqueue between waves (queueURL API, crawler.ts:1483).
+
+        ``force=True`` bypasses the URL-seen check (queue.ts:124-129): a
+        fresh frontier row with a new id is added even when the URL already
+        exists. (The reference's same-instance rejection has no analog —
+        every call here constructs a new item, which is exactly the path
+        the reference permits.) Forced rows share a URL but never an id;
+        all frontier maintenance is id-keyed, so duplicates are fetched
+        independently, matching the reliability spec's forced-duplicate
+        behavior."""
         ref_url = referrer["url"] if referrer else None
         ref_depth = referrer["depth"] if referrer else 0
         it = process_url(url, ref_url, ref_depth, self.config.url_options(),
@@ -375,9 +394,10 @@ class WaveCrawler:
         df = self.spark.createDataFrame(
             [self._item_row(it, self.next_id, it["depth"], ref_url or "", False)],
             FRONTIER_SCHEMA).withColumn("host_bucket", self._host_bucket_col())
-        df = df.join(self.frontier.select("url"), "url", "left_anti") \
-               .select(*[f.name for f in FRONTIER_SCHEMA.fields])
-        added = df.count()
+        if not force:
+            df = df.join(self.frontier.select("url"), "url", "left_anti")
+        df = df.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        added = 1 if force else df.count()
         if added:
             self.next_id += added
             self.queued_count = (self.queued_count or 0) + added
@@ -714,10 +734,20 @@ class WaveCrawler:
                     .withColumn("_oversize", oversize)
                     .persist())
 
-        # all wave counters + the wave's Set-Cookie headers in ONE job
+        # ------------- wave counters: long-format (k, v, s) agg branches.
+        # Steady-state scale waves (no fetch log, past the first-request
+        # special case) FUSE stats + cookies + body counters + candidate
+        # reject counts into ONE driver action — each avoided action is a
+        # full job round-trip that stays serial no matter how many
+        # executors exist (the scaling-efficiency killer). Driver-path
+        # waves keep the stepwise sequence: P11 and the fetch log need
+        # driver decisions between the aggregates.
         s = F.col("_new_status")
-        with _timed("stats-agg"):
-            stats = resp.agg(
+        fused = (not cfg.record_fetch_log) and not self.first_request_active
+        STATS = ["fetchstart", "downloaded", "notfound", "redirected",
+                 "timeout", "failed", "downloadprevented", "fetchdataerror",
+                 "notmodified", "ncomp"]
+        stats_plan = resp.agg(
             F.count("*").alias("fetchstart"),
             F.count_if(s == "downloaded").alias("downloaded"),
             F.count_if(s == "notfound").alias("notfound"),
@@ -728,60 +758,64 @@ class WaveCrawler:
             F.count_if(F.col("_oversize")).alias("fetchdataerror"),
             F.count_if(F.col("_code") == 304).alias("notmodified"),
             F.count_if(F.coalesce(F.col("_cenc"), F.lit(""))
-                       .rlike(_COMPRESSED_RLIKE)).alias("_n_compressed"),
-            F.collect_list(F.when(~F.col("_hang"), F.col("_set_cookie")))
-             .alias("_cookies"),
-            ).collect()[0].asDict()
-        set_cookies = stats.pop("_cookies")
-        n_compressed = stats.pop("_n_compressed")
-        for k, v in stats.items():
-            count(k, v)
-        if cfg.accept_cookies and set_cookies:
-            count("cookieerror", len(self.jar.add_from_headers(set_cookies)))
+                       .rlike(_COMPRESSED_RLIKE)).alias("ncomp"),
+        ).select(F.expr("stack({}, {}) as (k, v)".format(
+            len(STATS), ", ".join(f"'{n}', {n}" for n in STATS)))
+        ).withColumn("s", F.lit(None).cast("string"))
+        cookie_plan = (resp.filter((~F.col("_hang"))
+                                   & F.col("_set_cookie").isNotNull())
+                       .select(F.lit("__cookie").alias("k"),
+                               F.lit(0).cast("long").alias("v"),
+                               F.col("_set_cookie").alias("s")))
 
-        # ------------------------------------ body pipeline (T1/T2/D1-D3)
-        bodies = None
-        n_disc_total = None  # set on the prefilter path (bodies agg below);
-        # read by the accounting block after candidate processing — this is
-        # the SINGLE initialization (a later re-init once made the whole
-        # prefilter dead code)
-        if stats["downloaded"]:
-            dl = resp.filter(F.col("_new_status") == "downloaded") \
-                     .withColumn("do_discover", mime_ok)
+        kv: Dict[str, int] = {}
+
+        def collect_kv(plans) -> List[str]:
+            """Union the (k, v, s) branches, run ONE action, fold counter
+            rows into ``kv`` and return the Set-Cookie payload rows."""
+            df = plans[0]
+            for p in plans[1:]:
+                df = df.unionByName(p)
+            cookies = []
+            for r in df.collect():
+                if r["k"] == "__cookie":
+                    cookies.append(r["s"])
+                else:
+                    kv[r["k"]] = kv.get(r["k"], 0) + int(r["v"] or 0)
+            return cookies
+
+        def bodies_counters(bodies_df):
+            return (bodies_df.agg(
+                F.count_if(F.col("gzip_error")).alias("gz"),
+                F.sum(F.size("discovered")).alias("nd"))
+                .select(F.expr("stack(2, 'gz', gz, 'nd', nd) as (k, v)"))
+                .withColumn("s", F.lit(None).cast("string")))
+
+        def rejects_counters(processed_df):
+            rej = processed_df.groupBy("reject_reason").agg(
+                F.sum("weight").alias("w"), F.count("*").alias("rows"))
+            key = F.coalesce(F.col("reject_reason"), F.lit("__ok"))
+            null_s = F.lit(None).cast("string").alias("s")
+            return (rej.select(F.concat(F.lit("rej:"), key).alias("k"),
+                               F.col("w").cast("long").alias("v"), null_s)
+                    .unionByName(
+                        rej.select(F.concat(F.lit("rejrows:"), key).alias("k"),
+                                   F.col("rows").cast("long").alias("v"),
+                                   null_s)))
+
+        def build_bodies(dl):
             body_in = dl.select("id", "url", "protocol", "html",
                                 F.col("_ctype").alias("content_type"),
                                 F.col("_cenc").alias("content_encoding"),
                                 "do_discover")
-            bodies = body_in.mapInPandas(make_body_processor(cfg), BODY_SCHEMA)
-            if self.keep_content:
-                content = (bodies.join(dl.select("id", "url", "depth"), "id")
-                           .select("id", "url", "depth", "body", "text",
-                                   "extracted_text", "gzip_error", "discovered",
-                                   F.lit(self.wave).alias("wave"))
-                           .localCheckpoint(eager=True))
-                self._content_parts.append(content.drop("discovered"))
-                bodies = content  # reuse the materialized fragment
-            else:
-                bodies = bodies.persist()
-                self._wave_caches.append(bodies)
-            # one bodies pass serves both counters (fewer driver barriers)
-            if n_compressed or cfg.raw_url_prefilter:
-                with _timed("bodies-agg"):
-                    ba = bodies.agg(
-                        F.count_if(F.col("gzip_error")).alias("gz"),
-                        F.sum(F.size("discovered")).alias("nd")).first()
-                if n_compressed:
-                    count("gziperror", int(ba["gz"] or 0))
-                if cfg.raw_url_prefilter:
-                    n_disc_total = int(ba["nd"] or 0)
+            return body_in.mapInPandas(make_body_processor(cfg), BODY_SCHEMA)
 
-        # ---------------------------------------- candidates (D4/R1/S3)
-        cand_parts = []
-        if bodies is not None:
+        def build_discovered(bodies_df):
             ref_info = resp.filter(F.col("_new_status") == "downloaded") \
                 .select("id", F.col("url").alias("_purl"),
                         F.col("depth").alias("_pdepth"))
-            discovered = (bodies.select("id", "discovered").join(ref_info, "id")
+            discovered = (bodies_df.select("id", "discovered")
+                          .join(ref_info, "id")
                           .select(F.col("id").alias("referrer_id"),
                                   F.posexplode("discovered").alias("pos", "raw_url"),
                                   F.col("_purl").alias("referrer_url"),
@@ -791,76 +825,167 @@ class WaveCrawler:
                           .withColumn("skip_depth_gate", F.lit(False)))
             disc = self._pre_dedupe(discovered) \
                 .select(*[f.name for f in CANDIDATE_SCHEMA.fields])
-            if cfg.raw_url_prefilter:
-                # n_disc_total (attempts BEFORE the prefilter) was computed
-                # in the bodies agg above; the dropped difference becomes
+            if cfg.raw_url_prefilter and self._raw_seen is not None:
+                # cross-wave raw-seen anti-join BEFORE python
+                # canonicalization; the dropped difference becomes
                 # queueduplicate in the accounting block below
-                if self._raw_seen is not None:
-                    disc = (disc.withColumn("__rk", self._raw_key())
-                            .join(self._raw_seen, ["raw_url", "__rk"],
-                                  "left_anti").drop("__rk"))
-            cand_parts = [disc]
-        if stats["redirected"]:
-            redirects = (resp.filter(F.col("_new_status") == "redirected")
-                         .select(F.col("_location").alias("raw_url"),
-                                 F.col("id").alias("referrer_id"),
-                                 F.lit(0).cast("long").alias("pos"),
-                                 F.col("url").alias("referrer_url"),
-                                 F.col("depth").alias("referrer_depth"),
-                                 F.col("is_seed_chain"),
-                                 F.lit(True).alias("skip_depth_gate"),
-                                 F.lit(1).cast("long").alias("weight")))
-            if not self.first_request_active:
-                redirects = redirects.withColumn("is_seed_chain", F.lit(False))
-            cand_parts.append(redirects)
-        # P11: seed-chain bookkeeping (crawler.ts:1899,1925,1947-1953,1984,2002)
-        if self.first_request_active:
-            for r in resp.filter(F.col("is_seed_chain")) \
-                         .select("url", "_new_status", "_location").collect():
-                if r["_new_status"] == "redirected":
-                    tgt = process_url(r["_location"], r["url"], 0,
-                                      cfg.url_options())
-                    if tgt is not None and cfg.allow_initial_domain_change:
-                        self.crawl_host = tgt["host"]
-                else:
-                    self.first_request_active = False
-        if sitemap_candidates:
-            cand_parts.append(
-                spark.createDataFrame(sitemap_candidates, CANDIDATE_SCHEMA))
+                disc = (disc.withColumn("__rk", self._raw_key())
+                        .join(self._raw_seen, ["raw_url", "__rk"],
+                              "left_anti").drop("__rk"))
+            return disc
 
-        n_new = 0
-        new_rows = None
-        processed = None
-        if cand_parts:
+        def build_redirects():
+            return (resp.filter(F.col("_new_status") == "redirected")
+                    .select(F.col("_location").alias("raw_url"),
+                            F.col("id").alias("referrer_id"),
+                            F.lit(0).cast("long").alias("pos"),
+                            F.col("url").alias("referrer_url"),
+                            F.col("depth").alias("referrer_depth"),
+                            F.col("is_seed_chain"),
+                            F.lit(True).alias("skip_depth_gate"),
+                            F.lit(1).cast("long").alias("weight")))
+
+        def build_processed(cand_parts):
             candidates = cand_parts[0]
             for p in cand_parts[1:]:
                 candidates = candidates.unionByName(p)
-            processed = candidates.mapInPandas(
-                make_candidate_processor(cfg, self.robots.files, self.crawl_host),
+            out = candidates.mapInPandas(
+                make_candidate_processor(cfg, self.robots.files,
+                                         self.crawl_host),
                 PROCESSED_CANDIDATE_SCHEMA).persist()
-            n_cand = 0
-            with _timed("candidate-reject-counts"):
-                # weighted by pre-dedupe multiplicity: every original
-                # attempt is counted, though only distinct keys ran python
-                reject_rows = processed.groupBy("reject_reason") \
-                    .agg(F.sum("weight").alias("count"),
-                         F.count("*").alias("rows")).collect()
-            survivors_weighted = 0
+            self._wave_caches.append(out)
+            return out
+
+        bodies = None
+        processed = None
+        n_disc_total = None  # set on the prefilter path; read by the
+        # accounting block below — single initialization (a later re-init
+        # once made the whole prefilter dead code)
+
+        if fused:
+            # -------- fused path: build the full wave plan lazily, then ONE
+            # mega action for every counter
+            dl = resp.filter(F.col("_new_status") == "downloaded") \
+                     .withColumn("do_discover", mime_ok)
+            bodies = build_bodies(dl).persist()
+            self._wave_caches.append(bodies)
+            cand_parts = [build_discovered(bodies),
+                          build_redirects().withColumn(
+                              "is_seed_chain", F.lit(False))]
+            if sitemap_candidates:
+                cand_parts.append(
+                    spark.createDataFrame(sitemap_candidates, CANDIDATE_SCHEMA))
+            processed = build_processed(cand_parts)
+            with _timed("mega-agg"):
+                set_cookies = collect_kv(
+                    [stats_plan, cookie_plan, bodies_counters(bodies),
+                     rejects_counters(processed)])
+            stats = {n: kv.get(n, 0) for n in STATS}
+            n_compressed = stats.pop("ncomp")
+            for k2, v2 in stats.items():
+                count(k2, v2)
+            if cfg.accept_cookies and set_cookies:
+                count("cookieerror",
+                      len(self.jar.add_from_headers(set_cookies)))
+            if n_compressed:
+                count("gziperror", kv.get("gz", 0))
+            if cfg.raw_url_prefilter:
+                n_disc_total = kv.get("nd", 0)
+            if self.keep_content and stats["downloaded"]:
+                content = (bodies.join(dl.select("id", "url", "depth"), "id")
+                           .select("id", "url", "depth", "body", "text",
+                                   "extracted_text", "gzip_error",
+                                   F.lit(self.wave).alias("wave"))
+                           .localCheckpoint(eager=True))
+                self._content_parts.append(content)
+        else:
+            # -------- stepwise path (goldens / first-request waves)
+            with _timed("stats-agg"):
+                set_cookies = collect_kv([stats_plan, cookie_plan])
+            stats = {n: kv.get(n, 0) for n in STATS}
+            n_compressed = stats.pop("ncomp")
+            for k2, v2 in stats.items():
+                count(k2, v2)
+            if cfg.accept_cookies and set_cookies:
+                count("cookieerror",
+                      len(self.jar.add_from_headers(set_cookies)))
+
+            # body pipeline (T1/T2/D1-D3)
+            if stats["downloaded"]:
+                dl = resp.filter(F.col("_new_status") == "downloaded") \
+                         .withColumn("do_discover", mime_ok)
+                bodies = build_bodies(dl)
+                if self.keep_content:
+                    content = (bodies.join(dl.select("id", "url", "depth"), "id")
+                               .select("id", "url", "depth", "body", "text",
+                                       "extracted_text", "gzip_error",
+                                       "discovered",
+                                       F.lit(self.wave).alias("wave"))
+                               .localCheckpoint(eager=True))
+                    self._content_parts.append(content.drop("discovered"))
+                    bodies = content  # reuse the materialized fragment
+                else:
+                    bodies = bodies.persist()
+                    self._wave_caches.append(bodies)
+                if n_compressed or cfg.raw_url_prefilter:
+                    with _timed("bodies-agg"):
+                        collect_kv([bodies_counters(bodies)])
+                    if n_compressed:
+                        count("gziperror", kv.get("gz", 0))
+                    if cfg.raw_url_prefilter:
+                        n_disc_total = kv.get("nd", 0)
+
+            # candidates (D4/R1/S3)
+            cand_parts = []
+            if bodies is not None:
+                cand_parts.append(build_discovered(bodies))
+            if stats["redirected"]:
+                redirects = build_redirects()
+                if not self.first_request_active:
+                    redirects = redirects.withColumn(
+                        "is_seed_chain", F.lit(False))
+                cand_parts.append(redirects)
+            # P11: seed-chain bookkeeping (crawler.ts:1899,1925,1947-1953)
+            if self.first_request_active:
+                for r in resp.filter(F.col("is_seed_chain")) \
+                             .select("url", "_new_status", "_location").collect():
+                    if r["_new_status"] == "redirected":
+                        tgt = process_url(r["_location"], r["url"], 0,
+                                          cfg.url_options())
+                        if tgt is not None and cfg.allow_initial_domain_change:
+                            self.crawl_host = tgt["host"]
+                    else:
+                        self.first_request_active = False
+            if sitemap_candidates:
+                cand_parts.append(
+                    spark.createDataFrame(sitemap_candidates, CANDIDATE_SCHEMA))
+            if cand_parts:
+                processed = build_processed(cand_parts)
+                with _timed("candidate-reject-counts"):
+                    collect_kv([rejects_counters(processed)])
+
+        # ----------------- enqueue accounting (shared by both paths)
+        n_new = 0
+        new_rows = None
+        if processed is not None:
+            # weighted by pre-dedupe multiplicity: every original attempt is
+            # counted, though only distinct keys ran python
+            rej_w = {k2[4:]: v2 for k2, v2 in kv.items()
+                     if k2.startswith("rej:")}
+            rej_n = {k2[8:]: v2 for k2, v2 in kv.items()
+                     if k2.startswith("rejrows:")}
+            n_cand = rej_w.get("__ok", 0)
+            survivors_weighted = sum(rej_w.values())
             # rows that actually ran the python canonicalizer this wave
             # (post pre-dedupe, post raw-seen prefilter) — perf telemetry
-            wave_events["python_candidates"] = sum(
-                int(r["rows"]) for r in reject_rows)
-            for r in reject_rows:
-                survivors_weighted += r["count"]
-                if r["reject_reason"] is None:
-                    n_cand = r["count"]
-                else:
+            wave_events["python_candidates"] = sum(rej_n.values())
+            for reason, wsum in rej_w.items():
+                if reason != "__ok":
                     count({"junk": "junkurl", "invaliddomain": "invaliddomain",
                            "fetchdisallowed": "fetchdisallowed",
                            "fetchprevented": "fetchprevented",
                            "fetchconditionerror": "fetchconditionerror",
-                           "depthlimit": "depthlimit"}[r["reject_reason"]],
-                          r["count"])
+                           "depthlimit": "depthlimit"}[reason], wsum)
             if n_disc_total is not None:
                 # attempts the prefilter dropped (seen in earlier waves) are
                 # duplicates of previously-attempted raws
@@ -900,15 +1025,15 @@ class WaveCrawler:
                 # (scale) always takes the distributed two-phase ranking —
                 # one range-shuffle of the FRESH rows only (≤ politeness
                 # budget per wave), whose count phase doubles as the
-                # queueadd counter. (A bit-packed wave|referrer|pos id was
-                # tried and abandoned: truncating 64-bit referrer ids to 32
-                # bits collides at wave≥2, and duplicate ids multiply the
-                # bodies⨝referrer join.)
+                # queueadd counter; the id-assignment pass itself stays LAZY
+                # (materialized once by the wave commit, no extra barrier).
                 with _timed("assign-ids"):
                     with_ids, n_known = assign_dense_ids(
                         fresh, ["referrer_id", "pos"], self.next_id,
                         count_hint=n_cand if cfg.id_mode != "composite"
-                        else None)
+                        else None,
+                        cache_registry=self._wave_caches
+                        if cfg.id_mode == "composite" else None)
                 if n_known is not None:
                     n_new = n_known
                 else:

@@ -224,3 +224,32 @@ class TestOversize:
         assert c.events.get("fetchdataerror", 0) == 1
         fm = {u: (s, f) for (_, u, s, f, _) in frontier_map(c)}
         assert fm[BASE + "/big"] == ("spooled", True)
+
+
+class TestForcedDuplicates:
+    def test_force_add_bypasses_seen(self, spark):
+        """queue.add(force=true) duplicate bypass (queue.ts:124-129) —
+        'should add multiple items with the same URL to the queue if forced
+        to', reliability.integration.spec.ts:88-108: plain re-add is a
+        DUPLICATE error, forced re-add lands a second row."""
+        pages = fixture_pages_df(spark).coalesce(1).cache()
+        pages.count()
+        c = WaveCrawler(spark, pages, CrawlerConfig(initial_url=BASE + "/"))
+        c.seed()
+        base_add = c.events.get("queueadd", 0)
+        c.queue_url(BASE + "/stage2")
+        c.queue_url(BASE + "/stage2")               # rejected: DUPLICATE
+        c.queue_url(BASE + "/stage2", force=True)   # forced: second row
+        assert c.events.get("queueadd", 0) - base_add == 2
+        assert c.events.get("queueduplicate", 0) == 1
+        rows = c.frontier.filter(f"url = '{BASE}/stage2'").collect()
+        assert len(rows) == 2
+        assert len({r["id"] for r in rows}) == 2
+        assert all(r["status"] == "queued" for r in rows)
+        assert c.queued_count == 3  # seed + stage2 x2
+        # both forced rows fetch independently in the next wave
+        c.run_wave()
+        fetched = c.frontier.filter(
+            f"url = '{BASE}/stage2' AND fetched").count()
+        assert fetched == 2
+        pages.unpersist()
