@@ -39,6 +39,18 @@ def _planes(n_planes: int = 4, dim: int = 64):
     return planes
 
 
+def _plane_sets(n_tables: int = 8, n_planes: int = 7, dim: int = 64):
+    """L independent hyperplane tables for multi-table LSH (±1 from md5)."""
+    sets = []
+    for t in range(n_tables):
+        planes = []
+        for p in range(n_planes):
+            h = hashlib.md5(f"tbl:{t}:plane:{p}".encode()).digest() * 4
+            planes.append([1.0 if (h[i] & 1) else -1.0 for i in range(dim)])
+        sets.append(planes)
+    return sets
+
+
 PLANES = _planes()
 
 
@@ -331,6 +343,59 @@ def q_ann_lsh(spark, sf_dir):
             .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
 
 
+PLANE_SETS = _plane_sets()
+
+
+def q_ann_multiprobe(spark, sf_dir):
+    """Multi-table LSH top-k (8 tables x 7 hyperplanes): candidates share a
+    bucket in ANY table, scored once. Recall/comparisons vs brute force is
+    measured in bench.py; the oracle replicates the multi-table bucketing
+    in SQL."""
+    from simplecrawler_spark.operators.similarity import cosine_topk_lsh_multi
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return (cosine_topk_lsh_multi(emb, q, PLANE_SETS, k=5)
+            .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
+
+
+def _ann_multiprobe_oracle() -> str:
+    """DuckDB replica of the multi-table bucketing: per-table bucket rows
+    via UNION ALL, DISTINCT candidate pairs across tables, cosine rank."""
+    emb = "list_transform(embedding, x -> x::DOUBLE)"
+    parts = []
+    for t, planes in enumerate(PLANE_SETS):
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product({emb}, "
+            f"[{', '.join(str(x) for x in plane)}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes))
+        parts.append(f"SELECT vec_id, {t} AS tbl, ({bucket})::BIGINT AS bucket "
+                     f"FROM embeddings")
+    union = "\n          UNION ALL ".join(parts)
+    return f"""
+        WITH b AS (
+          {union}),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_id, e.vec_id
+          FROM b q JOIN b e USING (tbl, bucket)
+          WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id),
+        emb AS (SELECT vec_id, {emb} AS emb FROM embeddings)
+        SELECT q_id, vec_id, rank FROM (
+          SELECT c.q_id, c.vec_id,
+                 row_number() OVER (
+                   PARTITION BY c.q_id
+                   ORDER BY list_cosine_similarity(qe.emb, ee.emb) DESC,
+                            c.vec_id)::BIGINT AS rank
+          FROM cand c
+          JOIN emb qe ON qe.vec_id = c.q_id
+          JOIN emb ee ON ee.vec_id = c.vec_id)
+        WHERE rank <= 5
+    """
+
+
 # ----------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
     return image_features(_t(spark, sf_dir, "documents"))
@@ -388,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_multiprobe": q_ann_multiprobe,
         "embed_neardup": q_embed_neardup,
         "multimodal_features": q_multimodal_features,
         "cc_extract": q_cc_extract,
@@ -585,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "ann_lsh": _ann_lsh_oracle(),
+        "ann_multiprobe": _ann_multiprobe_oracle(),
         "embed_neardup": _embed_neardup_oracle(),
         "multimodal_features": """
             SELECT doc_id,
