@@ -203,6 +203,74 @@ def crawl_bench(spark, sf: float, respect_robots: bool = False):
             "n_hosts": n_hosts}
 
 
+def ann_bench(spark, sf_dir: str, plane_sets) -> dict:
+    """Measure multi-table LSH ANN against brute force on the benchmark
+    embeddings: recall@5 and the comparison fraction, on (a) the raw corpus
+    (near-random vectors — top-5 neighbors at cosine ~0.37, the provably
+    hard regime for any sublinear index) and (b) the same corpus with one
+    deterministic planted near-duplicate (cos ~0.995) per query vector —
+    the regime the near-dup/dedup operator family actually targets."""
+    from pyspark.sql import functions as F
+    from simplecrawler_spark.operators.similarity import (
+        _dot, _norm, cosine_topk, cosine_topk_lsh_multi, hyperplane_codes)
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double"))
+                   .alias("embedding")).persist())
+    n = emb.count()
+    q = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    n_q = q.count()
+
+    def pairs(df):
+        return {(r["q_id"], r["vec_id"]) for r in
+                df.select("q_id", "vec_id").collect()}
+
+    def cand_count(corpus):
+        codes = hyperplane_codes(corpus, plane_sets)
+        qc = hyperplane_codes(
+            q.select(F.col("q_id").alias("vec_id"),
+                     F.col("q_vec").alias("embedding")), plane_sets) \
+            .select(F.col("vec_id").alias("q_id"), "table", "bucket")
+        return (qc.join(codes.select("vec_id", "table", "bucket"),
+                        ["table", "bucket"])
+                .filter(F.col("q_id") != F.col("vec_id"))
+                .select("q_id", "vec_id").distinct().count())
+
+    truth = pairs(cosine_topk(emb, q, k=5))
+    got = pairs(cosine_topk_lsh_multi(emb, q, plane_sets, k=5))
+    recall_raw = len(got & truth) / max(len(truth), 1)
+    comp_raw = cand_count(emb) / max(n_q * (n - 1), 1)
+
+    # planted near-dups: clone every query vector with a deterministic ±1
+    # jitter at 10% of its norm (cos(v, clone) ~ 0.995)
+    jit = F.element_at(
+        F.array(*[F.array(*[F.lit(float(x)) for x in plane])
+                  for planes in plane_sets for plane in planes]),
+        (F.col("vec_id") % (len(plane_sets) * len(plane_sets[0]))
+         + 1).cast("int"))
+    eps = F.lit(0.1) * _norm(F.col("embedding")) / F.lit(8.0)
+    clones = (emb.filter("vec_id % 100 = 0")
+              .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                      F.zip_with(F.col("embedding"), jit,
+                                 lambda x, y: x + eps * y).alias("embedding")))
+    emb_aug = emb.unionByName(clones).persist()
+    got_aug = pairs(cosine_topk_lsh_multi(emb_aug, q, plane_sets, k=5))
+    found = sum((qid, qid + 1_000_000) in got_aug
+                for (qid,) in [(r["q_id"],) for r in q.select("q_id").collect()])
+    recall_planted = found / max(n_q, 1)
+    comp_planted = cand_count(emb_aug) / max(n_q * (n + n_q - 1), 1)
+    emb.unpersist()
+    emb_aug.unpersist()
+    return {"n_vectors": n, "n_queries": n_q,
+            "tables": len(plane_sets), "bits": len(plane_sets[0]),
+            "recall_at5_raw": round(recall_raw, 3),
+            "comparisons_frac_raw": round(comp_raw, 4),
+            "recall_planted_neardup": round(recall_planted, 3),
+            "comparisons_frac_planted": round(comp_planted, 4)}
+
+
 def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -223,6 +291,11 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         dt = time.time() - t0
         times[name] = round(dt, 3)
         total += dt
+
+    t0 = time.time()
+    ann = ann_bench(spark, sf_dir, entry.PLANE_SETS)
+    times["ann_recall"] = round(time.time() - t0, 3)
+    total += times["ann_recall"]
 
     t0 = time.time()
     crawl = crawl_bench(spark, sf if sf else 0.01)
@@ -249,6 +322,7 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
             crawl["urls_per_sec_steady"]
             / crawl_robots["urls_per_sec_steady"], 3)
         if crawl_robots["urls_per_sec_steady"] else None,
+        "ann": ann,
         "crawl": crawl,
         "crawl_robots": crawl_robots,
     }
