@@ -22,8 +22,10 @@ a broadcast ``robots_rules`` side table instead of a closure capture.
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Iterator, List, Optional
 
+import numpy as np
 import pandas as pd
 
 from ..config import CrawlerConfig
@@ -34,6 +36,24 @@ from ..functions.robots import RobotsFile, RobotsStore
 from ..functions.urlkit import process_url
 
 _GZIPPY = ("gzip", "deflate")
+
+# Vectorized canonicalization fast path: a URL matching this pattern is
+# ALREADY in the exact form process_url's absolutize→normalize pipeline
+# would output (lowercase ascii scheme/host, dotted host labels with no
+# leading/trailing hyphens, optional explicit port without leading zeros,
+# absolute path over unreserved-safe characters, no %-escapes, no query,
+# no fragment, no userinfo, no whitespace). For such URLs canonicalization
+# reduces to stripping a default port — a pandas str op — so only the
+# residue (relative refs, IDN, escapes, queries, dot-segments, oddballs)
+# pays the per-row python Uri algebra. Fast-path/slow-path equivalence is
+# asserted over a probe corpus in tests/test_urlkit_fastpath.py.
+FAST_URL_RE = re.compile(
+    r"^(https?)://"
+    r"((?:[a-z0-9](?:[a-z0-9-]*[a-z0-9])?\.)*[a-z0-9](?:[a-z0-9-]*[a-z0-9])?)"
+    r"(?::([1-9][0-9]{0,4}))?"
+    r"(/[A-Za-z0-9/_\-.~]*)$")
+# dot-segments need the slow path's remove_dot_segments
+_DOTSEG_RE = re.compile(r"/\.{1,2}(?:/|$)")
 
 
 def _needs_unzip(content_encoding: Optional[str]) -> bool:
@@ -120,27 +140,90 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
     fetch_conditions = config.fetch_conditions
     respect_robots = config.respect_robots_txt
 
+    # the fast path is only valid under default canonicalization options
+    # and with no user fetch conditions (conditions receive the full item
+    # dict — route through the reference-exact slow path)
+    fast_enabled = (not opts.strip_querystring
+                    and not opts.sort_query_parameters
+                    and not opts.strip_www_domain
+                    and opts.url_encoding == "unicode"
+                    and not fetch_conditions)
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        domain_cache = {}  # host -> domain_valid verdict (hosts repeat a lot)
         for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
             n = len(pdf)
-            cols = {c: [None] * n for c in
+            cols = {c: np.full(n, None, dtype=object) for c in
                     ("url", "protocol", "host", "port", "path", "uri_path")}
-            depths = [0] * n
-            reasons: List[Optional[str]] = [None] * n
-            for i, row in enumerate(pdf.itertuples(index=False)):
-                if (not row.skip_depth_gate and max_depth != 0
-                        and row.referrer_depth + 1 > max_depth):
-                    reasons[i] = "depthlimit"
-                    continue
-                item = process_url(row.raw_url, row.referrer_url,
-                                   row.referrer_depth, opts)
+            depths = np.zeros(n, dtype="int64")
+            reasons = np.full(n, None, dtype=object)
+
+            ref_depth = pdf["referrer_depth"].fillna(0).to_numpy("int64")
+            seedc = pdf["is_seed_chain"].fillna(False).to_numpy(bool)
+            if max_depth != 0:
+                gate = ((~pdf["skip_depth_gate"].fillna(False).to_numpy(bool))
+                        & (ref_depth + 1 > max_depth))
+                reasons[gate] = "depthlimit"
+            else:
+                gate = np.zeros(n, dtype=bool)
+
+            fast = np.zeros(n, dtype=bool)
+            if fast_enabled and n:
+                raw = pdf["raw_url"].astype(object).fillna("").astype(str)
+                ext = raw.str.extract(FAST_URL_RE)
+                path_s = ext[3].fillna("")
+                fast = (ext[0].notna().to_numpy(bool)
+                        & ~path_s.str.contains("//", regex=False)
+                        .to_numpy(bool)
+                        & ~path_s.str.contains(_DOTSEG_RE).to_numpy(bool)
+                        & ~gate)
+                if fast.any():
+                    # canonical form modulo default-port strip — vectorized
+                    is_def = ((ext[0].eq("http") & ext[2].eq("80"))
+                              | (ext[0].eq("https") & ext[2].eq("443")))
+                    port_keep = ext[2].where(ext[2].notna() & ~is_def)
+                    url_f = (ext[0] + "://" + ext[1]
+                             + (":" + port_keep).fillna("") + ext[3])
+                    port_num = port_keep.fillna("0").astype("int64")
+                    cols["url"][fast] = url_f.to_numpy(object)[fast]
+                    cols["protocol"][fast] = ext[0].to_numpy(object)[fast]
+                    cols["host"][fast] = ext[1].to_numpy(object)[fast]
+                    cols["port"][fast] = port_num.to_numpy(object)[fast]
+                    cols["path"][fast] = ext[3].to_numpy(object)[fast]
+                    cols["uri_path"][fast] = ext[3].to_numpy(object)[fast]
+                    depths[fast] = ref_depth[fast] + 1
+                    depths[fast & seedc] = 1  # crawler.ts:1947-1949
+                    # domain gate, memoized per host (same verdict function
+                    # as the slow path)
+                    f_idx = np.nonzero(fast)[0]
+                    f_hosts = cols["host"][f_idx]
+                    for h in set(f_hosts):
+                        if h not in domain_cache:
+                            domain_cache[h] = domain_valid(h, rules)
+                    dom_ok = np.fromiter((domain_cache[h] for h in f_hosts),
+                                         bool, len(f_idx))
+                    reasons[f_idx[~dom_ok]] = "invaliddomain"
+                    if respect_robots and store.files:
+                        live = f_idx[dom_ok]
+                        rob_ok = np.fromiter(
+                            (store.url_is_allowed(u)
+                             for u in cols["url"][live]), bool, len(live))
+                        reasons[live[~rob_ok]] = "fetchdisallowed"
+
+            # slow residue: the reference-exact per-row pipeline
+            raw_a = pdf["raw_url"].to_numpy(object)
+            refu_a = pdf["referrer_url"].to_numpy(object)
+            refd_a = pdf["referrer_depth"].to_numpy(object)
+            for i in np.nonzero(~(gate | fast))[0]:
+                item = process_url(raw_a[i], refu_a[i], refd_a[i], opts)
                 if item is None:
                     reasons[i] = "junk"
                     continue
                 for c in ("url", "protocol", "host", "port", "path", "uri_path"):
                     cols[c][i] = item[c]
                 depths[i] = item["depth"]
-                if row.is_seed_chain:
+                if seedc[i]:
                     depths[i] = 1  # crawler.ts:1947-1949
                 if not domain_valid(item["host"], rules):
                     reasons[i] = "invaliddomain"
@@ -151,7 +234,7 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
                 ok = True
                 for cond in fetch_conditions:
                     try:
-                        if not cond(item, row._asdict() if hasattr(row, "_asdict") else {}):
+                        if not cond(item, dict(pdf.iloc[i])):
                             reasons[i] = "fetchprevented"
                             ok = False
                             break
@@ -163,10 +246,10 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
                     continue
             out = pdf.copy()
             for c, vals in cols.items():
-                out[c] = vals
-            out["port"] = pd.array(cols["port"], dtype="Int32")
-            out["depth"] = pd.array(depths, dtype="Int32")
-            out["reject_reason"] = reasons
+                out[c] = list(vals)
+            out["port"] = pd.array(list(cols["port"]), dtype="Int32")
+            out["depth"] = pd.array(list(depths), dtype="Int32")
+            out["reject_reason"] = list(reasons)
             yield out[["raw_url", "referrer_id", "pos", "referrer_url",
                        "referrer_depth", "is_seed_chain", "skip_depth_gate",
                        "weight", "url", "protocol", "host", "port", "path",
