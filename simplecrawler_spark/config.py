@@ -52,6 +52,11 @@ class CrawlerConfig:
     proxy_port: Optional[int] = None
 
     # --- Spark engine knobs ---
+    # real-socket fetch stage (operators/fetch.py): due rows fetch over HTTP
+    # in an Arrow pass (ThreadPool capped at max_concurrency per executor)
+    # instead of joining the pages table. Semantics are identical to the
+    # simulated join — tested against the live fixture server.
+    live_fetch: bool = False
     host_buckets: int = 64            # salt buckets for host-hash partitioning
     # Bloom URL-seen side table (north_rule): capacity per host_bucket; None
     # disables the pre-filter (exact anti-join only). Auto-created under

@@ -433,6 +433,8 @@ class WaveCrawler:
                             ignore_www_domain=self.config.ignore_www_domain,
                             scan_subdomains=self.config.scan_subdomains,
                             domain_whitelist=list(self.config.domain_whitelist))
+        if self.config.live_fetch:
+            return self._fetch_robots_batch_live(pairs, rules)
 
         def finish(batches):
             for pdf in batches:
@@ -485,6 +487,62 @@ class WaveCrawler:
                         nxt.append((origin, target.href()))
             current = nxt
         return out
+
+    def _fetch_robots_batch_live(self, pairs: List[tuple],
+                                 rules) -> Dict[str, Optional[str]]:
+        """Live-mode robots fetch: real HTTP, concurrent across origins
+        (driver-side pool — robots fetches are one per NEW origin per wave;
+        at larger scale the same kernel runs executor-side via the fetch
+        stage). Redirects followed manually (≤6 hops, domain-gated),
+        identical verdict semantics to the simulated batch."""
+        import urllib.error
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..functions.filters import domain_valid
+        from ..functions.uriref import Uri
+        from ..operators.fetch import _NoRedirect
+        opener = urllib.request.build_opener(_NoRedirect)
+        timeout = self.config.timeout_ms / 1000.0
+        ua = self.config.user_agent
+
+        def one(pair):
+            origin, url = pair
+            for _hop in range(6):
+                try:
+                    req = urllib.request.Request(
+                        url, headers={"User-Agent": ua})
+                    with opener.open(req, timeout=timeout) as resp:
+                        body, code = resp.read(), resp.status
+                        h = resp.headers
+                except urllib.error.HTTPError as e:
+                    body = e.read() if e.fp is not None else b""
+                    code, h = e.code, e.headers
+                except Exception:
+                    return origin, None
+                ctype, cenc = h.get("Content-Type"), h.get("Content-Encoding")
+                if 200 <= code < 300:
+                    if "gzip" in (cenc or "") or "deflate" in (cenc or ""):
+                        unzipped, err = unzip(body)
+                        if err:
+                            return origin, None
+                        body = unzipped
+                    return origin, decode_buffer(body, ctype or "")
+                if 300 <= code < 400 and h.get("Location"):
+                    try:
+                        target = Uri(h.get("Location")) \
+                            .absolute_to(url).normalize()
+                    except Exception:
+                        return origin, None
+                    if not domain_valid(target.hostname(), rules):
+                        return origin, None
+                    url = target.href()
+                    continue
+                return origin, None
+            return origin, None
+
+        with ThreadPoolExecutor(max(self.config.max_concurrency, 1)) as ex:
+            return dict(ex.map(one, pairs))
 
     def _robots_from_triggers(self, triggers: List[tuple]) -> List[dict]:
         """Per new host origin (touch order = trigger id order): fetch+parse
@@ -618,35 +676,41 @@ class WaveCrawler:
                 self._due_distributed_path(due_all)
         count("fetchdisallowed", n_due_disallowed)
 
-        # ------------------------------------------------ fetch: join pages (S1)
-        pages = self.pages.select(
-            F.col("url"),
-            F.col("status").alias("_code"), F.col("html"),
-            F.col("content_type").alias("_ctype"),
-            F.col("content_encoding").alias("_cenc"),
-            F.col("content_length").alias("_clen"),
-            F.col("location").alias("_location"),
-            F.col("set_cookie").alias("_set_cookie"),
-            F.col("etag").alias("_etag"),
-            F.col("last_modified").alias("_lastmod"),
-            F.col("hang").alias("_hang"))
-        resp = due.join(pages, "url", "left")
-        if self.cache is not None:
-            cache = self.cache.select(
-                "url", F.col("etag").alias("_cached_etag"),
-                F.col("last_modified").alias("_cached_lastmod"))
-            cond_304 = ((F.col("_cached_etag").isNotNull()
-                         & (F.col("_cached_etag") == F.col("_etag")))
-                        | (F.col("_cached_lastmod").isNotNull()
-                           & (F.col("_cached_lastmod") == F.col("_lastmod"))))
-            resp = (resp.join(cache, "url", "left")
-                    .withColumn("_code",
-                                F.when(F.col("_code").between(200, 299) & cond_304,
-                                       F.lit(304)).otherwise(F.col("_code")))
-                    .drop("_cached_etag", "_cached_lastmod"))
-        # missing page ⇒ testserver-style 404 (testserver.ts:66-71)
-        resp = resp.withColumn("_code", F.coalesce(F.col("_code"), F.lit(404))) \
-                   .withColumn("_hang", F.coalesce(F.col("_hang"), F.lit(False)))
+        # -------------------------- fetch: join pages OR live HTTP (S1)
+        if cfg.live_fetch:
+            from ..operators.fetch import live_fetch_stage
+            # conditional requests (S8) go over the wire; the server answers
+            # 304 directly, so no post-join rewrite is needed
+            resp = live_fetch_stage(due, cfg, jar=self.jar, cache=self.cache)
+        else:
+            pages = self.pages.select(
+                F.col("url"),
+                F.col("status").alias("_code"), F.col("html"),
+                F.col("content_type").alias("_ctype"),
+                F.col("content_encoding").alias("_cenc"),
+                F.col("content_length").alias("_clen"),
+                F.col("location").alias("_location"),
+                F.col("set_cookie").alias("_set_cookie"),
+                F.col("etag").alias("_etag"),
+                F.col("last_modified").alias("_lastmod"),
+                F.col("hang").alias("_hang"))
+            resp = due.join(pages, "url", "left")
+            if self.cache is not None:
+                cache = self.cache.select(
+                    "url", F.col("etag").alias("_cached_etag"),
+                    F.col("last_modified").alias("_cached_lastmod"))
+                cond_304 = ((F.col("_cached_etag").isNotNull()
+                             & (F.col("_cached_etag") == F.col("_etag")))
+                            | (F.col("_cached_lastmod").isNotNull()
+                               & (F.col("_cached_lastmod") == F.col("_lastmod"))))
+                resp = (resp.join(cache, "url", "left")
+                        .withColumn("_code",
+                                    F.when(F.col("_code").between(200, 299) & cond_304,
+                                           F.lit(304)).otherwise(F.col("_code")))
+                        .drop("_cached_etag", "_cached_lastmod"))
+            # missing page ⇒ testserver-style 404 (testserver.ts:66-71)
+            resp = resp.withColumn("_code", F.coalesce(F.col("_code"), F.lit(404))) \
+                       .withColumn("_hang", F.coalesce(F.col("_hang"), F.lit(False)))
 
         mime_ok = F.col("_ctype").isNotNull() & F.col("_ctype").rlike(SUPPORTED_MIME_RLIKE)
         is2xx = F.col("_code").between(200, 299)
