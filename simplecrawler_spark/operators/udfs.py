@@ -22,6 +22,7 @@ a broadcast ``robots_rules`` side table instead of a closure capture.
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Callable, Iterator, List, Optional
 
@@ -215,6 +216,22 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
             raw_a = pdf["raw_url"].to_numpy(object)
             refu_a = pdf["referrer_url"].to_numpy(object)
             refd_a = pdf["referrer_depth"].to_numpy(object)
+            refitem_a = (pdf["referrer_item"].to_numpy(object)
+                         if fetch_conditions else None)
+            # one referrer page → one parsed item dict, shared by all its
+            # candidates (the reference hands every condition the same
+            # referrerQueueItem object, crawler.ts:1502-1523)
+            ref_cache: dict = {}
+
+            def referrer_of(i):
+                s = refitem_a[i]
+                if s is None:
+                    return None
+                d = ref_cache.get(s)
+                if d is None:
+                    d = json.loads(s)
+                    ref_cache[s] = d
+                return d
             for i in np.nonzero(~(gate | fast))[0]:
                 item = process_url(raw_a[i], refu_a[i], refd_a[i], opts)
                 if item is None:
@@ -234,7 +251,7 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
                 ok = True
                 for cond in fetch_conditions:
                     try:
-                        if not cond(item, dict(pdf.iloc[i])):
+                        if not cond(item, referrer_of(i)):
                             reasons[i] = "fetchprevented"
                             ok = False
                             break
@@ -252,7 +269,7 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
             out["reject_reason"] = list(reasons)
             yield out[["raw_url", "referrer_id", "pos", "referrer_url",
                        "referrer_depth", "is_seed_chain", "skip_depth_gate",
-                       "weight", "url", "protocol", "host", "port", "path",
-                       "uri_path", "depth", "reject_reason"]]
+                       "weight", "referrer_item", "url", "protocol", "host",
+                       "port", "path", "uri_path", "depth", "reject_reason"]]
 
     return process

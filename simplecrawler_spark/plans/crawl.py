@@ -106,6 +106,7 @@ class WaveCrawler:
         self.wave = 0
         self.next_id = 0
         self.queued_count: Optional[int] = None
+        self._fetch_log_overflow = False  # due set exceeded fetch_log_max_due
         self._wave_caches: List[DataFrame] = []
         # raw-URL-seen set for the pre-python prefilter (performance state
         # only: resume starts empty and repopulates — exactness unaffected)
@@ -579,15 +580,30 @@ class WaveCrawler:
                     "pos": -1_000_000 + k, "referrer_url": robots_item["url"],
                     "referrer_depth": robots_item["depth"],
                     "is_seed_chain": False, "skip_depth_gate": True,
-                    "weight": 1,
+                    "weight": 1, "referrer_item": None,
                 })
         return candidates
 
     # ------------------------------------------------- due selection (C1/Q5)
     def _due_driver_path(self, due_all: DataFrame):
         """Collect the due set once; robots gating + fetch log driver-side.
-        One Spark job regardless of how many gates apply."""
-        rows = due_all.collect()
+        One Spark job regardless of how many gates apply.
+
+        Driver-OOM guard: the collect is bounded by
+        ``config.fetch_log_max_due``. A wave whose due set exceeds the bound
+        returns None and the caller auto-switches to the distributed path
+        (fetch-log recording stops, with a one-time warning) — so the
+        record_fetch_log=True default is safe to leave on at scale; the
+        bounded probe costs one job either way."""
+        bound = self.config.fetch_log_max_due
+        rows = due_all.limit(bound + 1).collect()
+        if len(rows) > bound:
+            if not self._fetch_log_overflow:
+                self._fetch_log_overflow = True
+                print(f"simplecrawler_spark: wave {self.wave} due set exceeds "
+                      f"fetch_log_max_due={bound}; switching to the "
+                      "distributed due path (fetch log disabled)")
+            return None
         triggers = {}
         for r in rows:
             key = (r["protocol"], r["host"], r["port"])
@@ -668,9 +684,11 @@ class WaveCrawler:
             self._count(name, n)
 
         due_all = select_due(frontier, cfg.tokens_per_host_per_wave)
-        if cfg.record_fetch_log:
-            due, due_disallowed, n_due_disallowed, sitemap_candidates = \
-                self._due_driver_path(due_all)
+        picked = None
+        if cfg.record_fetch_log and not self._fetch_log_overflow:
+            picked = self._due_driver_path(due_all)
+        if picked is not None:
+            due, due_disallowed, n_due_disallowed, sitemap_candidates = picked
         else:
             due, due_disallowed, n_due_disallowed, sitemap_candidates = \
                 self._due_distributed_path(due_all)
@@ -771,8 +789,11 @@ class WaveCrawler:
         # the error branch, crawler.ts:1855-1858)
         new_fetched = F.when(is2xx & F.col("_dl_err"), F.lit(False)) \
                        .otherwise(F.lit(True))
+        clen_expr = F.coalesce(F.col("_clen"),
+                               F.length(F.col("html")).cast("long"), F.lit(0))
         headers_map = F.map_filter(
             F.create_map(
+                F.lit("content-length"), clen_expr.cast("string"),
                 F.lit("content-type"), F.col("_ctype"),
                 F.lit("content-encoding"), F.col("_cenc"),
                 F.lit("location"), F.col("_location"),
@@ -784,8 +805,7 @@ class WaveCrawler:
             F.lit(0).cast("long").alias("request_latency"),
             F.lit(0).cast("long").alias("request_time"),
             F.lit(0).cast("long").alias("download_time"),
-            F.coalesce(F.col("_clen"), F.length(F.col("html")).cast("long"),
-                       F.lit(0)).alias("content_length"),
+            clen_expr.alias("content_length"),
             F.col("_ctype").alias("content_type"),
             F.col("_code").cast("int").alias("code"),
             headers_map.alias("headers"),
@@ -807,7 +827,8 @@ class WaveCrawler:
         # waves keep the stepwise sequence: P11 and the fetch log need
         # driver decisions between the aggregates.
         s = F.col("_new_status")
-        fused = (not cfg.record_fetch_log) and not self.first_request_active
+        fused = (not cfg.record_fetch_log or self._fetch_log_overflow) \
+            and not self.first_request_active
         STATS = ["fetchstart", "downloaded", "notfound", "redirected",
                  "timeout", "failed", "downloadprevented", "fetchdataerror",
                  "notmodified", "ncomp"]
@@ -874,16 +895,35 @@ class WaveCrawler:
                                 "do_discover")
             return body_in.mapInPandas(make_body_processor(cfg), BODY_SCHEMA)
 
+        def referrer_item_col():
+            """Full referrer QueueItem as JSON for fetch conditions
+            (crawler.ts:1502-1523 passes the referrer item as the second
+            predicate argument; conditions.integration.spec.ts:131-183
+            asserts url/depth/protocol/host/port/path + stateData reach it).
+            Built only when conditions exist — otherwise a null literal, so
+            the default path pays nothing."""
+            if not cfg.fetch_conditions:
+                return F.lit(None).cast("string")
+            return F.to_json(F.struct(
+                F.col("id"), F.col("url"), F.col("protocol"), F.col("host"),
+                F.col("port"), F.col("path"), F.col("uri_path"),
+                F.col("depth"), F.col("referrer"),
+                F.col("_new_fetched").alias("fetched"),
+                F.col("_new_status").alias("status"),
+                F.col("_state").alias("state")))
+
         def build_discovered(bodies_df):
             ref_info = resp.filter(F.col("_new_status") == "downloaded") \
                 .select("id", F.col("url").alias("_purl"),
-                        F.col("depth").alias("_pdepth"))
+                        F.col("depth").alias("_pdepth"),
+                        referrer_item_col().alias("referrer_item"))
             discovered = (bodies_df.select("id", "discovered")
                           .join(ref_info, "id")
                           .select(F.col("id").alias("referrer_id"),
                                   F.posexplode("discovered").alias("pos", "raw_url"),
                                   F.col("_purl").alias("referrer_url"),
-                                  F.col("_pdepth").alias("referrer_depth"))
+                                  F.col("_pdepth").alias("referrer_depth"),
+                                  F.col("referrer_item"))
                           .withColumn("pos", F.col("pos").cast("long"))
                           .withColumn("is_seed_chain", F.lit(False))
                           .withColumn("skip_depth_gate", F.lit(False)))
@@ -907,7 +947,8 @@ class WaveCrawler:
                             F.col("depth").alias("referrer_depth"),
                             F.col("is_seed_chain"),
                             F.lit(True).alias("skip_depth_gate"),
-                            F.lit(1).cast("long").alias("weight")))
+                            F.lit(1).cast("long").alias("weight"),
+                            referrer_item_col().alias("referrer_item")))
 
         def build_processed(cand_parts):
             candidates = cand_parts[0]

@@ -51,6 +51,10 @@ CANDIDATE_SCHEMA = T.StructType([
     # collapsed-duplicate multiplicity from the pre-canonicalization dedupe
     # (event counters weight by it); 1 for non-deduped candidate sources
     T.StructField("weight", T.LongType()),
+    # full referrer QueueItem as JSON (crawler.ts:1502-1523 passes the
+    # referrer item to fetch conditions); populated only when
+    # config.fetch_conditions is non-empty, else null (zero cost)
+    T.StructField("referrer_item", T.StringType()),
 ])
 
 # canonicalized candidates (after the process_url/filter Arrow pass)

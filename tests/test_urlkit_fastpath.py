@@ -65,6 +65,7 @@ def _batch(urls):
         "is_seed_chain": [i % 7 == 0 for i in range(n)],
         "skip_depth_gate": [i % 5 == 0 for i in range(n)],
         "weight": [1] * n,
+        "referrer_item": [None] * n,
     })
 
 
