@@ -76,6 +76,9 @@ class CrawlerConfig:
     # only), 'dense' picks a single-partition window for small inputs
     id_mode: str = "dense"
     record_fetch_log: bool = True     # collect per-wave fetch-start order (tests)
+    # driver-OOM guard for the fetch-log path: a wave whose due set exceeds
+    # this bound auto-switches the crawl to the distributed due path
+    fetch_log_max_due: int = 100_000
     shuffle_partitions: Optional[int] = None
 
     def url_options(self) -> UrlOptions:
