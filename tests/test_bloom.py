@@ -98,3 +98,45 @@ def test_store_lineage_carries_bloom_fpr(spark, tmp_path):
         resumed.frontier.select("host_bucket", "url")) \
         .filter("NOT __maybe_seen").count() == 0
     pages.unpersist()
+
+
+def test_delta_add_rewrites_only_touched_buckets(spark, tmp_path):
+    # VERDICT r1 minor #6: an add must not rewrite every bucket blob
+    bt = BloomSideTable(str(tmp_path / "b"), spark,
+                        capacity_per_bucket=2_000, compact_after=50)
+    bt.add(_urls(spark, 0, 2_000))               # v0: all buckets
+    one_host = (spark.range(0, 100)
+                .select(F.concat(F.lit("http://h1.test/q/"),
+                                 F.col("id").cast("string")).alias("url"),
+                        (F.abs(F.xxhash64(F.lit("1"))) % 16)
+                        .cast("int").alias("host_bucket")))
+    bt.add(one_host)                             # v1: exactly one bucket
+    v1 = spark.read.parquet(str(tmp_path / "b" / "v1"))
+    assert v1.count() == 1
+    # untouched buckets still probe via the manifest (served from v0)
+    full = _urls(spark, 0, 2_000)
+    assert bt.probe(full).filter("NOT __maybe_seen").count() == 0
+    assert bt.probe(one_host).filter("NOT __maybe_seen").count() == 0
+
+
+def test_n_items_counts_distinct_keys(spark, tmp_path):
+    bt = BloomSideTable(str(tmp_path / "b"), spark, capacity_per_bucket=2_000)
+    dup = (spark.range(0, 500)
+           .select(F.concat(F.lit("http://h1.test/p/"),
+                            (F.col("id") % 50).cast("string")).alias("url"),
+                   F.lit(3).cast("int").alias("host_bucket")))
+    bt.add(dup)  # 500 rows, 50 distinct urls
+    cur = bt.filters().collect()
+    assert len(cur) == 1
+    assert cur[0]["n_items"] == 50
+
+
+def test_compaction_bounds_version_fanin(spark, tmp_path):
+    bt = BloomSideTable(str(tmp_path / "b"), spark,
+                        capacity_per_bucket=2_000, compact_after=3)
+    for i in range(6):
+        bt.add(_urls(spark, i * 500, 500))
+    manifest = bt._manifest(bt.version())
+    assert len(set(manifest.values())) <= 3 + 1
+    assert bt.probe(_urls(spark, 0, 3_000)) \
+             .filter("NOT __maybe_seen").count() == 0
