@@ -78,6 +78,8 @@ class RobotsFile:
     groups: dict = field(default_factory=dict)  # ua-token -> List[_Rule]
     sitemaps: List[str] = field(default_factory=list)
     body: str = ""  # raw text, kept for checkpoint serialization
+    crawl_delays: dict = field(default_factory=dict)  # ua-token -> seconds
+    preferred_host: Optional[str] = None  # Host: directive (robots-parser)
 
     def is_allowed(self, url: str, user_agent: str = "*") -> Optional[bool]:
         """True/False verdict, or None when this file has no authority over
@@ -111,6 +113,56 @@ class RobotsFile:
                 best = rule
         return True if best is None else best.allow
 
+    # robots-parser surface breadth (src/types/robots-parser.d.ts):
+    # the reference only consumes isAllowed, but exposes the full object
+    def is_disallowed(self, url: str, user_agent: str = "*") -> Optional[bool]:
+        v = self.is_allowed(url, user_agent)
+        return None if v is None else not v
+
+    def is_explicitly_disallowed(self, url: str,
+                                 user_agent: str = "*") -> Optional[bool]:
+        """Disallowed by a group addressed to THIS user agent specifically —
+        the '*' fallback group does not count (robots-parser semantics)."""
+        try:
+            sp = urlsplit(url)
+        except ValueError:
+            return None
+        scheme = (sp.scheme or "http").lower()
+        port = sp.port or (443 if scheme == "https" else 80)
+        if (scheme != self.protocol or (sp.hostname or "").lower() != self.host
+                or port != self.port):
+            return None
+        rules = self.groups.get(_format_user_agent(user_agent))
+        if rules is None:
+            return False
+        path = _normalize_path((sp.path or "/")
+                               + (("?" + sp.query) if sp.query else ""))
+        best: Optional[_Rule] = None
+        for rule in rules:
+            if rule.regex is not None:
+                if rule.regex.search(path):
+                    return not rule.allow
+                continue
+            if not path.startswith(rule.pattern):
+                continue
+            if (best is None or len(rule.pattern) > len(best.pattern)
+                    or (len(rule.pattern) == len(best.pattern)
+                        and rule.allow and not best.allow)):
+                best = rule
+        return False if best is None else not best.allow
+
+    def get_crawl_delay(self, user_agent: str = "*") -> Optional[float]:
+        d = self.crawl_delays.get(_format_user_agent(user_agent))
+        if d is None:
+            d = self.crawl_delays.get("*")
+        return d
+
+    def get_preferred_host(self) -> Optional[str]:
+        return self.preferred_host
+
+    def get_sitemaps(self) -> List[str]:
+        return list(self.sitemaps)
+
 
 def parse_robots(robots_url: str, body: str) -> RobotsFile:
     """Parse a robots.txt body fetched from ``robots_url``."""
@@ -143,6 +195,18 @@ def parse_robots(robots_url: str, body: str) -> RobotsFile:
             for a in (current_agents or ["*"]):
                 rf.groups.setdefault(a, []).append(
                     _compile_rule(value, key == "allow"))
+        elif key == "crawl-delay":
+            seen_rule_in_group = True
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            for a in (current_agents or ["*"]):
+                rf.crawl_delays.setdefault(a, delay)
+        elif key == "host":
+            seen_rule_in_group = True
+            if value and rf.preferred_host is None:
+                rf.preferred_host = value.lower()
         elif key == "sitemap":
             seen_rule_in_group = True
             if value:
