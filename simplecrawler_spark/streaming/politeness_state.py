@@ -45,8 +45,17 @@ STATE_SCHEMA = T.StructType([
 
 def politeness_gate(candidates: DataFrame, rate: float = 4.0,
                     burst: float = 8.0, pending_cap: int = 10_000,
-                    host_col: str = "host", url_col: str = "url") -> DataFrame:
-    """(host, url, admitted, batch_tokens_left) stream; FIFO per host."""
+                    host_col: str = "host", url_col: str = "url",
+                    drain_wakeups: bool = True) -> DataFrame:
+    """(host, url, admitted, batch_tokens_left) stream; FIFO per host.
+
+    ``drain_wakeups``: with a continuous trigger (processingTime), a host
+    holding backlog re-arms a 1 s processing-time timeout so deferred URLs
+    keep draining even when no new candidates arrive. Turn it OFF under
+    bounded triggers (availableNow / once): a pending processing-time
+    timeout keeps the micro-batch engine cycling after the data is
+    exhausted instead of terminating — the backlog then simply waits in
+    state for the next run over the same checkpoint."""
 
     def gate(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
@@ -65,7 +74,7 @@ def politeness_gate(candidates: DataFrame, rate: float = 4.0,
         tokens -= n_admit
         keep, overflow = rest[:pending_cap], rest[pending_cap:]
         state.update((float(tokens), keep))
-        if keep:
+        if keep and drain_wakeups:
             # backlog left: wake this host next interval even if no new
             # candidates arrive, so deferred URLs keep draining
             state.setTimeoutDuration(1000)
@@ -79,7 +88,8 @@ def politeness_gate(candidates: DataFrame, rate: float = 4.0,
         if len(out):
             yield out
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if drain_wakeups
+               else GroupStateTimeout.NoTimeout)
     return (candidates.groupBy(host_col)
             .applyInPandasWithState(gate, OUTPUT_SCHEMA, STATE_SCHEMA,
-                                    "append",
-                                    GroupStateTimeout.ProcessingTimeTimeout))
+                                    "append", timeout))
