@@ -396,6 +396,65 @@ def _ann_multiprobe_oracle() -> str:
     """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) top-k: corpus vectors partition into nearest-
+    centroid cells, queries probe the 2 nearest of 16 cells. The driver
+    entry uses iters=0 centroids (the 16 lowest vec_ids' embeddings) so the
+    DuckDB oracle can rebuild the identical index in pure SQL; Lloyd
+    training (iters>0) is covered by tests/test_ann_ivf.py."""
+    from simplecrawler_spark.operators.similarity import (cosine_topk_ivf,
+                                                          ivf_train)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    cents = ivf_train(emb, n_centroids=16, iters=0)
+    q = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return (cosine_topk_ivf(emb, q, cents, k=5, nprobe=2)
+            .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB replica of the IVF index: same centroids (16 lowest vec_ids),
+    same nearest-cell assignment (sim DESC, cid ASC tie-break), same
+    2-probe query routing, cosine rank within probed cells."""
+    emb = "list_transform(embedding, x -> x::DOUBLE)"
+    return f"""
+        WITH e AS (SELECT vec_id, {emb} AS emb FROM embeddings),
+        c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cvec
+          FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16)),
+        assign AS (
+          SELECT vec_id, emb, cid FROM (
+            SELECT e.vec_id, e.emb, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                              c.cid) AS rn
+            FROM e CROSS JOIN c)
+          WHERE rn = 1),
+        probe AS (
+          SELECT vec_id AS q_id, emb AS q_vec, cid FROM (
+            SELECT e.vec_id, e.emb, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                              c.cid) AS rn
+            FROM e CROSS JOIN c
+            WHERE e.vec_id % 100 = 0)
+          WHERE rn <= 2)
+        SELECT q_id, vec_id, rank FROM (
+          SELECT p.q_id, a.vec_id,
+                 row_number() OVER (
+                   PARTITION BY p.q_id
+                   ORDER BY list_cosine_similarity(p.q_vec, a.emb) DESC,
+                            a.vec_id)::BIGINT AS rank
+          FROM probe p JOIN assign a USING (cid)
+          WHERE a.vec_id <> p.q_id)
+        WHERE rank <= 5
+    """
+
+
 # ----------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
     return image_features(_t(spark, sf_dir, "documents"))
@@ -454,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
+        "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "multimodal_features": q_multimodal_features,
         "cc_extract": q_cc_extract,
@@ -652,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": _ann_lsh_oracle(),
         "ann_multiprobe": _ann_multiprobe_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
         "embed_neardup": _embed_neardup_oracle(),
         "multimodal_features": """
             SELECT doc_id,
