@@ -12,6 +12,7 @@ JS patterns with JS's \\s / \\w character classes made explicit.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Callable, List, Optional, Union
 
@@ -103,6 +104,20 @@ def discover_resources(text: str, *, parse_html_comments: bool = True,
     return out
 
 
+# Fast path for discovered URLs that are already canonical absolute http(s)
+# references: lowercase reg-name host, no port / userinfo / query / escape /
+# IDN, unreserved path charset. Such a URL is a fixed point of
+# Uri(url).absolute_to(base).normalize().href() — RFC 3986 §5.2.2 copies a
+# scheme'd reference verbatim modulo remove_dot_segments (excluded below),
+# and normalize() then has nothing left to change. Equivalence is asserted
+# against the forced-slow path in tests/test_urlkit_fastpath.py.
+_FAST_ABS_RE = re.compile(
+    r"^https?://"
+    r"(?:[a-z0-9](?:[a-z0-9-]*[a-z0-9])?\.)*[a-z0-9](?:[a-z0-9-]*[a-z0-9])?"
+    r"(/[A-Za-z0-9/_\-.~]*)$")
+_DOTSEG_RE = re.compile(r"/\.{1,2}(?:/|$)")
+
+
 def clean_expand_resources(url_matches: List[str], page_url: Optional[str],
                            page_protocol: Optional[str],
                            protocol_supported: Callable[[str], bool]) -> List[str]:
@@ -110,16 +125,21 @@ def clean_expand_resources(url_matches: List[str], page_url: Optional[str],
     (crawler.ts:846-886)."""
     if not url_matches:
         return []
+    fast_ok = not os.environ.get("SPARK_GRAFT_DISABLE_FASTPATH")
     seen = set()
     out: List[str] = []
     for raw in url_matches:
         if not raw:
             continue
         url = clean_url(raw, page_protocol)
-        try:
-            url = Uri(url).absolute_to(page_url or "").normalize().href()
-        except Exception:
-            continue
+        m = _FAST_ABS_RE.match(url) if fast_ok else None
+        if m and "//" not in m.group(1) and not _DOTSEG_RE.search(m.group(1)):
+            pass  # already canonical: the Uri round-trip is the identity
+        else:
+            try:
+                url = Uri(url).absolute_to(page_url or "").normalize().href()
+            except Exception:
+                continue
         if not url:
             continue
         if not protocol_supported(url):

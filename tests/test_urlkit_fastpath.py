@@ -106,3 +106,36 @@ def test_fast_classification():
         # dot-segment / empty-segment checks applied in the kernel
         if m:
             assert ("/./" in u or "/../" in u or "//" in m.group(4)), u
+
+
+def test_clean_expand_fastpath_equivalence(monkeypatch):
+    """clean_expand_resources with the canonical-absolute fast path must be
+    byte-identical to the forced-slow Uri round-trip on every shape — the
+    fast accepts AND the residue — including attribute fluff that clean_url
+    strips before the fast check."""
+    from simplecrawler_spark.functions.decode import protocol_supported
+    from simplecrawler_spark.functions import discovery
+
+    matches = (
+        # fast shapes (post-clean_url canonical absolutes)
+        [' href="http://h0.test/p/1"',
+         " src='https://a.b.c.example/x_y-z.~stuff'",
+         "http://h.test/deep/ly/nested/path.html",
+         ' href="http://127.0.0.1/path"']
+        # slow residue (everything the fast regex must reject)
+        + [f" href=\"{u}\"" for u in SLOW_EXPECTED if u]
+        + ["http://h.test:80/x",      # default port: slow (normalize strips)
+           "http://h.test:8080/x",    # explicit port: slow by design
+           "rel/a.html", "../up", "/rooted", "page?x=1"])
+
+    def run():
+        return discovery.clean_expand_resources(
+            matches, "http://base.test/dir/page.html", "http",
+            protocol_supported)
+
+    fast = run()
+    monkeypatch.setenv("SPARK_GRAFT_DISABLE_FASTPATH", "1")
+    slow = run()
+    assert fast == slow
+    assert "http://h0.test/p/1" in fast        # fast shape survived
+    assert "http://base.test/dir/rel/a.html" in fast  # relative resolved
