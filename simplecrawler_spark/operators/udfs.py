@@ -23,6 +23,7 @@ a broadcast ``robots_rules`` side table instead of a closure capture.
 from __future__ import annotations
 
 import json
+import os
 import re
 from typing import Callable, Iterator, List, Optional
 
@@ -144,7 +145,10 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
     # the fast path is only valid under default canonicalization options
     # and with no user fetch conditions (conditions receive the full item
     # dict — route through the reference-exact slow path)
-    fast_enabled = (not opts.strip_querystring
+    # bench/CI knob: force every candidate through the reference-exact slow
+    # path so the fast path's win is measurable (bench.py fastpath section)
+    fast_enabled = (not os.environ.get("SPARK_GRAFT_DISABLE_FASTPATH")
+                    and not opts.strip_querystring
                     and not opts.sort_query_parameters
                     and not opts.strip_www_domain
                     and opts.url_encoding == "unicode"
