@@ -48,9 +48,11 @@ def build_args(argv):
     p.add_argument("--max-depth", type=int, default=0)
     p.add_argument("--bloom-capacity", type=int, default=None,
                    help="bloom capacity per host_bucket (default: off)")
-    p.add_argument("--no-raw-prefilter", action="store_true",
-                   help="disable the pre-canonicalization raw-URL-seen "
-                        "anti-join (identical frontier either way)")
+    p.add_argument("--raw-prefilter", action="store_true",
+                   help="enable the pre-canonicalization raw-URL-seen "
+                        "anti-join (identical frontier either way; pays "
+                        "only when the slow canonicalization path "
+                        "dominates, e.g. user fetch conditions)")
     return p.parse_args(argv)
 
 
@@ -88,7 +90,7 @@ def main(argv=None) -> int:
         tokens_per_host_per_wave=args.tokens_per_host,
         host_buckets=args.host_buckets,
         bloom_capacity_per_bucket=args.bloom_capacity,
-        raw_url_prefilter=not args.no_raw_prefilter,
+        raw_url_prefilter=args.raw_prefilter,
         max_waves=args.waves)
 
     store = SnapshotStore(args.store, spark) if args.store else None

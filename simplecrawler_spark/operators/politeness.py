@@ -31,13 +31,34 @@ from pyspark.sql import DataFrame, Window, functions as F
 DEFAULT_RANK_SALT = 64
 
 
+# below this queued-row count the salted pre-rank cannot pay for its extra
+# full shuffle+sort: even a host owning EVERY queued row sorts at most this
+# many rows in phase 2's single task, which is a sub-second sort. The
+# two-phase path exists for the 10^9+-row regime where one host's queue
+# share would otherwise be an unboundedly large single-task sort.
+TWO_PHASE_MIN_ROWS = 2_000_000
+
+
 def select_due(frontier: DataFrame, tokens_per_host: Optional[int],
-               salt: int = DEFAULT_RANK_SALT) -> DataFrame:
+               salt: int = DEFAULT_RANK_SALT,
+               approx_rows: Optional[int] = None,
+               two_phase_min_rows: int = TWO_PHASE_MIN_ROWS) -> DataFrame:
     """FIFO head selection (Q5 generalized): all queued rows, optionally
-    budget-capped per host in id order via a skew-safe two-phase top-k."""
+    budget-capped per host in id order via a skew-safe two-phase top-k.
+
+    ``approx_rows``: caller-known queued-row count (the wave engine tracks
+    it incrementally — free). When provided and below
+    ``two_phase_min_rows``, phase 1 is skipped: a frontier that small sorts
+    any host in one task faster than the pre-rank's extra shuffle costs.
+    When unknown (None), the skew-safe path is taken unconditionally."""
     queued = frontier.filter(F.col("status") == "queued")
     if tokens_per_host is None:
         return queued
+    if approx_rows is not None and approx_rows < two_phase_min_rows:
+        w2 = Window.partitionBy("host").orderBy("id")
+        return (queued.withColumn("__rk", F.row_number().over(w2))
+                .filter(F.col("__rk") <= tokens_per_host)
+                .drop("__rk"))
     # phase 1: pre-rank within (host, xxhash64(id) % salt) groups — bounds
     # any single task's sort to ~1/salt of a hot host's rows. Hashing the id
     # (rather than id % salt) keeps groups uniform even when a host's ids

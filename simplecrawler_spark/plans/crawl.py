@@ -683,7 +683,8 @@ class WaveCrawler:
                 wave_events[name] = wave_events.get(name, 0) + int(n)
             self._count(name, n)
 
-        due_all = select_due(frontier, cfg.tokens_per_host_per_wave)
+        due_all = select_due(frontier, cfg.tokens_per_host_per_wave,
+                             approx_rows=self.queued_count)
         picked = None
         if cfg.record_fetch_log and not self._fetch_log_overflow:
             picked = self._due_driver_path(due_all)
