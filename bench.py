@@ -474,8 +474,12 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
         return round(urls / secs, 1)
 
     results = {}
-    for _round in range(2):
-        for cpus in (32, 8):
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    # 8 BEFORE 32 inside a round: the second leg runs on a more
+    # credit-drained box, so this ordering disadvantages the 32-core leg —
+    # the reported efficiency is a conservative lower bound
+    for _round in range(rounds):
+        for cpus in (8, 32):
             res = run_leg(cpus)
             if cpus not in results or steady(res) > steady(results[cpus]):
                 results[cpus] = res
@@ -492,9 +496,9 @@ Sandbox stand-in for the north_rule's N -> 4N executor criterion: the SAME
 job (`spark-submit --py-files dist/simplecrawler_spark.zip jobs/crawl_job.py
 --pages {pages_arg} --waves 3 --seed-frac {SEED_FRAC}
 --tokens-per-host 256`, power-law hosts, per-wave snapshot store) on the
-SAME input at local[8] vs local[32] — two interleaved runs per size,
-best leg counts (the sandbox VM is CPU-credit throttled; whatever runs
-after sustained load is slowed regardless of core count).
+SAME input at local[8] vs local[32] — {rounds} interleaved run(s) per
+size, best leg counts (the sandbox VM is CPU-credit throttled; whatever
+runs after sustained load is slowed regardless of core count).
 
 | cores | steady crawl URLs/sec | whole-run URLs/sec | wall sec |
 | --- | --- | --- | --- |
@@ -525,6 +529,16 @@ Reference single-node ceiling: 4 req/s (1 fetch per 250 ms tick,
 
 Steady-state excludes wave 0 (python-worker spawn + codegen warmup — fixed
 cost, amortized to zero over a long crawl).
+
+Methodology notes: within a round the 8-core leg runs FIRST, so the
+32-core leg executes on a more credit-drained box — the reported
+efficiency is a conservative lower bound. The hardware ceiling is a
+short burst measurement, while each leg sustains load for minutes and is
+throttled below that ceiling for part of its run — a second reason the
+calibrated number understates the dataflow's true scalability. Input is
+sized (SPARK_GRAFT_SCALE_MULT) so waves are compute-bound: at small
+inputs both core counts hit the same fixed per-wave floor (job launch,
+commit barriers) and the ratio measures nothing.
 
 Job detail @32 cores: {json.dumps(detail32)}
 
