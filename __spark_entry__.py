@@ -69,7 +69,12 @@ def q_fifo_politeness(spark, sf_dir):
         F.col("event_id").alias("id"),
         F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias("host"),
         F.lit("queued").alias("status"))
-    due = select_due(frontier, tokens_per_host=3)
+    # approx_rows gates the two-phase skew-safe rank to where it pays (the
+    # wave engine passes its incrementally-tracked queued count; here one
+    # cheap count does the same) — below the gate a single window ranks any
+    # host in one task faster than the pre-rank's extra shuffle costs.
+    due = select_due(frontier, tokens_per_host=3,
+                     approx_rows=frontier.count())
     w = Window.partitionBy("host").orderBy("id")
     return (due.withColumn("rk", F.row_number().over(w).cast("long"))
             .select("id", "host", "rk"))

@@ -407,7 +407,17 @@ def _fastpath_bench(n: int = 120_000) -> dict:
             best = min(best, time.time() - t0)
         return best
 
-    slow, fast = leg(True), leg(False)
+    # save/restore the user-visible knob: the legs mutate the env var and
+    # anything launched afterwards (e.g. the scaling spark-submit legs)
+    # inherits the process environment
+    prev = os.environ.get("SPARK_GRAFT_DISABLE_FASTPATH")
+    try:
+        slow, fast = leg(True), leg(False)
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_DISABLE_FASTPATH", None)
+        else:
+            os.environ["SPARK_GRAFT_DISABLE_FASTPATH"] = prev
     return {"n": n, "residue_frac": 0.125,
             "slow_sec": round(slow, 3), "fast_sec": round(fast, 3),
             "speedup_x": round(slow / fast, 2) if fast else None,

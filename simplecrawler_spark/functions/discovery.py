@@ -120,12 +120,22 @@ _DOTSEG_RE = re.compile(r"/\.{1,2}(?:/|$)")
 
 def clean_expand_resources(url_matches: List[str], page_url: Optional[str],
                            page_protocol: Optional[str],
-                           protocol_supported: Callable[[str], bool]) -> List[str]:
+                           protocol_supported: Callable[[str], bool],
+                           disable_fastpath: Optional[bool] = None) -> List[str]:
     """Clean → absolutize → normalize → protocol-filter → ordered set-dedupe
-    (crawler.ts:846-886)."""
+    (crawler.ts:846-886).
+
+    ``disable_fastpath``: force the per-URL Uri round-trip even for
+    already-canonical URLs. ``None`` falls back to the
+    SPARK_GRAFT_DISABLE_FASTPATH env var — correct for driver-side/unit
+    callers, but executor code must pass the flag explicitly (a driver-set
+    env var never reaches executors on a real cluster; the wave kernel
+    captures it at construction, see operators/udfs.py)."""
     if not url_matches:
         return []
-    fast_ok = not os.environ.get("SPARK_GRAFT_DISABLE_FASTPATH")
+    if disable_fastpath is None:
+        disable_fastpath = bool(os.environ.get("SPARK_GRAFT_DISABLE_FASTPATH"))
+    fast_ok = not disable_fastpath
     seen = set()
     out: List[str] = []
     for raw in url_matches:

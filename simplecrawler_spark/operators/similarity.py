@@ -111,10 +111,18 @@ def cosine_topk_lsh_multi(embeddings: DataFrame, queries: DataFrame,
                        F.col("q_vec").alias("embedding")), plane_sets) \
         .select(F.col("vec_id").alias("q_id"),
                 F.col("embedding").alias("q_vec"), "table", "bucket")
-    cand = (q_c.join(emb_c, ["table", "bucket"])
-            .filter(F.col("q_id") != F.col("vec_id"))
-            .select("q_id", "q_vec", "vec_id", "embedding")
-            .dropDuplicates(["q_id", "vec_id"]))
+    # dedupe (q_id, vec_id) on ids ONLY, then re-join the vectors — a pair
+    # found in several tables would otherwise drag both full embedding
+    # arrays through the dedupe shuffle (the widest exchange of the plan)
+    cand_ids = (q_c.select("q_id", "table", "bucket")
+                .join(emb_c.select("vec_id", "table", "bucket"),
+                      ["table", "bucket"])
+                .filter(F.col("q_id") != F.col("vec_id"))
+                .select("q_id", "vec_id")
+                .dropDuplicates(["q_id", "vec_id"]))
+    cand = (cand_ids
+            .join(F.broadcast(queries), "q_id")
+            .join(embeddings, "vec_id"))
     sim = (_dot(F.col("q_vec"), F.col("embedding"))
            / (_norm(F.col("q_vec")) * _norm(F.col("embedding"))))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -178,10 +186,14 @@ def ivf_assign(embeddings: DataFrame, centroids: List,
 
 def ivf_train(embeddings: DataFrame, n_centroids: int = 16, iters: int = 2,
               vec_col: str = "embedding", id_col: str = "vec_id") -> List:
-    """Deterministic spherical k-means: init = the vectors of the
-    n_centroids lowest ids; `iters` Lloyd rounds (assign -> per-dimension
-    mean via posexplode+groupBy). Each round is one distributed pass; the
-    driver collects only n_centroids x dim floats. An empty cell keeps its
+    """Deterministic cosine-assignment k-means (assignment by cosine
+    similarity, plain per-dimension mean update — centroids are NOT
+    renormalized to unit norm, so this is not textbook spherical k-means;
+    cosine assignment is norm-invariant, so cells differ from spherical
+    k-means only via the un-normalized mean drift). Init = the vectors of
+    the n_centroids lowest ids; `iters` Lloyd rounds (assign -> mean via
+    posexplode+groupBy). Each round is one distributed pass; the driver
+    collects only n_centroids x dim floats. An empty cell keeps its
     previous centroid (no respawn nondeterminism)."""
     init = embeddings.select(id_col, vec_col).orderBy(id_col) \
         .limit(n_centroids).collect()

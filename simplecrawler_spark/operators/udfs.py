@@ -72,6 +72,9 @@ def make_body_processor(config: CrawlerConfig) -> Callable:
     decode_flag = config.decode_responses
     discover_flag = config.discover_resources
     download_unsupported = config.download_unsupported
+    # captured at construction (driver-side) so the flag reaches executors
+    # via the serialized closure — a driver-set env var never would
+    disable_fastpath = bool(os.environ.get("SPARK_GRAFT_DISABLE_FASTPATH"))
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -105,7 +108,8 @@ def make_body_processor(config: CrawlerConfig) -> Callable:
                         parse_script_tags=parse_scripts,
                         respect_robots_txt=respect_robots)
                     discovered = clean_expand_resources(
-                        matches, row.url, row.protocol, protocol_supported)
+                        matches, row.url, row.protocol, protocol_supported,
+                        disable_fastpath=disable_fastpath)
                 out["id"].append(row.id)
                 out["body"].append(body_emitted)
                 out["text"].append(text)

@@ -192,6 +192,17 @@ class WaveCrawler:
         return F.when(collapse, F.lit("")).otherwise(
             F.coalesce(F.col("referrer_url"), F.lit("")))
 
+    def _apply_set_cookies(self, rows: List[Tuple[str, int]]) -> int:
+        """Upsert deduped (header, multiplicity) Set-Cookie rows into the
+        jar; returns the cookieerror count — each faulty header counts once
+        per ORIGINAL response row (crawler.ts:1807-1813 emits per response),
+        though it reaches the driver once."""
+        n_err = 0
+        for header, cnt in rows:
+            if self.jar.add_from_headers([header]):
+                n_err += cnt
+        return n_err
+
     def _bloom_add(self, delta: DataFrame) -> None:
         """OR freshly-enqueued URLs into the Bloom side table. Call sites pass
         exactly the rows new to the frontier, so n_items (→ analytic FPR in
@@ -848,24 +859,32 @@ class WaveCrawler:
         ).select(F.expr("stack({}, {}) as (k, v)".format(
             len(STATS), ", ".join(f"'{n}', {n}" for n in STATS)))
         ).withColumn("s", F.lit(None).cast("string"))
+        # Set-Cookie headers are DEDUPED JVM-side before the driver collect:
+        # the jar upsert is idempotent per distinct header string, so only
+        # distinct headers (plus their multiplicity, for the cookieerror
+        # counter) need to reach the driver — a 10^7-row wave with
+        # accept_cookies on collects #distinct-headers rows, not the
+        # politeness budget.
         cookie_plan = (resp.filter((~F.col("_hang"))
                                    & F.col("_set_cookie").isNotNull())
+                       .groupBy(F.col("_set_cookie").alias("s"))
+                       .agg(F.count("*").alias("v"))
                        .select(F.lit("__cookie").alias("k"),
-                               F.lit(0).cast("long").alias("v"),
-                               F.col("_set_cookie").alias("s")))
+                               F.col("v").cast("long").alias("v"), "s"))
 
         kv: Dict[str, int] = {}
 
-        def collect_kv(plans) -> List[str]:
+        def collect_kv(plans) -> List[Tuple[str, int]]:
             """Union the (k, v, s) branches, run ONE action, fold counter
-            rows into ``kv`` and return the Set-Cookie payload rows."""
+            rows into ``kv`` and return (header, multiplicity) Set-Cookie
+            rows."""
             df = plans[0]
             for p in plans[1:]:
                 df = df.unionByName(p)
             cookies = []
             for r in df.collect():
                 if r["k"] == "__cookie":
-                    cookies.append(r["s"])
+                    cookies.append((r["s"], int(r["v"] or 0)))
                 else:
                     kv[r["k"]] = kv.get(r["k"], 0) + int(r["v"] or 0)
             return cookies
@@ -991,8 +1010,7 @@ class WaveCrawler:
             for k2, v2 in stats.items():
                 count(k2, v2)
             if cfg.accept_cookies and set_cookies:
-                count("cookieerror",
-                      len(self.jar.add_from_headers(set_cookies)))
+                count("cookieerror", self._apply_set_cookies(set_cookies))
             if n_compressed:
                 count("gziperror", kv.get("gz", 0))
             if cfg.raw_url_prefilter:
@@ -1013,8 +1031,7 @@ class WaveCrawler:
             for k2, v2 in stats.items():
                 count(k2, v2)
             if cfg.accept_cookies and set_cookies:
-                count("cookieerror",
-                      len(self.jar.add_from_headers(set_cookies)))
+                count("cookieerror", self._apply_set_cookies(set_cookies))
 
             # body pipeline (T1/T2/D1-D3)
             if stats["downloaded"]:

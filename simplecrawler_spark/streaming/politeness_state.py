@@ -54,8 +54,12 @@ def politeness_gate(candidates: DataFrame, rate: float = 4.0,
     keep draining even when no new candidates arrive. Turn it OFF under
     bounded triggers (availableNow / once): a pending processing-time
     timeout keeps the micro-batch engine cycling after the data is
-    exhausted instead of terminating — the backlog then simply waits in
-    state for the next run over the same checkpoint."""
+    exhausted instead of terminating. Liveness caveat when OFF: with
+    NoTimeout the gate only runs for hosts PRESENT in a batch, so a host's
+    deferred backlog drains only when new candidates for that host arrive —
+    callers of bounded triggers must schedule a drain pass themselves
+    (a follow-up run over the same checkpoint with drain_wakeups=True, or
+    a trickle of wake rows per backlogged host)."""
 
     def gate(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
