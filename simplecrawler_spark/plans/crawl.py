@@ -61,6 +61,15 @@ _COMPRESSED_RLIKE = "(gzip|deflate)"
 
 _DEBUG_TIMING = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
 
+# working-frontier compaction triggers: compact when the un-compacted delta
+# mass exceeds this fraction of the frontier (amortized per-wave compaction
+# cost = O(wave_rows / ratio), independent of frontier size) — but never
+# below the absolute floor (tiny crawls shouldn't churn), and always when
+# the part lists grow wide enough to bloat the logical plan.
+COMPACT_RATIO = 0.3
+COMPACT_MIN_ROWS = 200_000
+COMPACT_MAX_PARTS = 48
+
 
 @contextmanager
 def _timed(label: str):
@@ -101,7 +110,17 @@ class WaveCrawler:
         self.metrics: List[Dict] = []
         self.fetch_log: List[tuple] = []   # (wave, id, url) in fetch-start order
         self.events: Dict[str, int] = {}
-        self.frontier: Optional[DataFrame] = None
+        # working frontier = settled ∪ pending, maintained as base + deltas
+        # (see the `frontier` property): a wave APPENDS its materialized
+        # delta instead of re-checkpointing the whole frontier — per-wave
+        # I/O is O(wave), not O(frontier); ratio-triggered compaction keeps
+        # the amortized cost independent of frontier size.
+        self._settled_base: Optional[DataFrame] = None   # terminal rows
+        self._settled_parts: List[DataFrame] = []        # per-wave outcomes
+        self._pending_base: Optional[DataFrame] = None   # queued rows
+        self._pending_added: List[DataFrame] = []        # per-wave enqueues
+        self._pending_removed: List[DataFrame] = []      # id-only, per wave
+        self._uncompacted_rows = 0
         self._content_parts: List[DataFrame] = []  # fetched_pages fragments
         self.wave = 0
         self.next_id = 0
@@ -117,6 +136,129 @@ class WaveCrawler:
         if seed is None:
             raise ValueError(f"unprocessable initial URL: {config.initial_url}")
         self.crawl_host = seed["host"]     # may change, crawler.ts:1951-1953
+
+    # -------------------------------------------- working frontier (base+delta)
+    # The frontier is never re-materialized per wave. It is split by row
+    # lifecycle — a frontier row is enqueued exactly once ('queued') and
+    # reaches a terminal status exactly once (fetch outcome / 'disallowed'),
+    # so:
+    #   settled  = terminal rows: APPEND-ONLY (base + per-wave outcome parts)
+    #   pending  = queued rows:   (base ∪ added parts) anti-join removed ids
+    # A wave appends its materialized delta (the store's committed parquet,
+    # or a localCheckpoint of the delta on store-less runs) — O(wave) I/O.
+    # select_due reads only the pending view (no status scan over settled);
+    # the URL-seen anti-join reads the union of part URLs with NO version
+    # resolution (a superseded row's url is still a seen url). Ratio-
+    # triggered compaction (_maybe_compact) rebuilds the two bases and, on
+    # store-backed runs, drives the store's own delta compaction at the
+    # same moment — the working copy holds lazy references to committed
+    # delta parquet, which must not be deleted under it.
+
+    def _pending_view(self) -> Optional[DataFrame]:
+        parts = ([self._pending_base] if self._pending_base is not None
+                 else []) + self._pending_added
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if self._pending_removed:
+            rem = self._pending_removed[0]
+            for p in self._pending_removed[1:]:
+                rem = rem.unionByName(p)
+            df = df.join(rem, "id", "left_anti")
+        return df
+
+    def _settled_view(self) -> Optional[DataFrame]:
+        parts = ([self._settled_base] if self._settled_base is not None
+                 else []) + self._settled_parts
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def _seen_urls_view(self) -> DataFrame:
+        """Every URL ever enqueued — union of part urls, no version
+        resolution (the anti-join consumer only cares about membership)."""
+        parts = [p.select("url") for p in
+                 ([self._settled_base] if self._settled_base is not None else [])
+                 + self._settled_parts
+                 + ([self._pending_base] if self._pending_base is not None else [])
+                 + self._pending_added]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    @property
+    def frontier(self) -> Optional[DataFrame]:
+        s, p = self._settled_view(), self._pending_view()
+        if s is None:
+            return p
+        if p is None:
+            return s
+        return s.unionByName(p)
+
+    @frontier.setter
+    def frontier(self, df: Optional[DataFrame]) -> None:
+        """Replace the working frontier wholesale (resume / bulk bootstrap).
+        ``df`` must already be materialized (checkpoint or parquet-backed);
+        the split below is two lazy filters over it."""
+        self._settled_parts, self._pending_added, self._pending_removed = \
+            [], [], []
+        self._uncompacted_rows = 0
+        if df is None:
+            self._settled_base = self._pending_base = None
+        else:
+            self._settled_base = df.filter(F.col("status") != "queued")
+            self._pending_base = df.filter(F.col("status") == "queued")
+
+    def _append_enqueue(self, part: DataFrame, n_rows: int) -> None:
+        """Record a materialized queued-row delta (seed / manual / wave)."""
+        self._pending_added.append(part)
+        self._uncompacted_rows += n_rows
+        self._maybe_compact()
+
+    def _append_wave_outcome(self, committed: DataFrame, n_rows: int) -> None:
+        """Record a wave's materialized delta: terminal rows join settled,
+        their ids leave pending, fresh rows join pending — all lazy filters
+        over the SAME materialized delta (no extra job)."""
+        settled_part = committed.filter(F.col("status") != "queued")
+        added_part = committed.filter(F.col("status") == "queued")
+        self._settled_parts.append(settled_part)
+        self._pending_removed.append(settled_part.select("id"))
+        self._pending_added.append(added_part)
+        self._uncompacted_rows += n_rows
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        total = max(self.next_id, 1)
+        n_parts = max(len(self._settled_parts), len(self._pending_added))
+        if not (self._uncompacted_rows > max(COMPACT_RATIO * total,
+                                             COMPACT_MIN_ROWS)
+                or n_parts > COMPACT_MAX_PARTS):
+            return
+        with _timed("frontier-compact"):
+            pending = self._pending_view()
+            settled = self._settled_view()
+            self._pending_base = None if pending is None \
+                else self._commit(pending)
+            self._settled_base = None if settled is None \
+                else self._commit(settled)
+            self._settled_parts, self._pending_added, self._pending_removed = \
+                [], [], []
+            self._uncompacted_rows = 0
+            if self.store is not None:
+                # the working copy no longer references committed delta
+                # parquet — safe to let the store rewrite/drop delta dirs.
+                # Passing the freshly checkpointed frontier skips the
+                # store's own MoR re-merge.
+                s, p = self._settled_base, self._pending_base
+                cur = s.unionByName(p) if s is not None and p is not None \
+                    else (s if s is not None else p)
+                self.store.compact(current=cur)
 
     # ------------------------------------------------------------------ utils
     @property
@@ -286,30 +428,22 @@ class WaveCrawler:
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA) \
             .withColumn("host_bucket", self._host_bucket_col())
         if self.frontier is None:
-            self.next_id += len(rows)
-            self.queued_count = (self.queued_count or 0) + len(rows)
-            delta = df.select(*[f.name for f in FRONTIER_SCHEMA.fields])
-            if self.store is not None:
-                committed = self.store.commit_wave(
-                    self.wave, delta, self._driver_state(), bloom=self.bloom)
-                self.frontier = self._commit(committed)
-            else:
-                self.frontier = self._commit(delta)
-                self._bloom_add(delta)
+            df = df.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            n = len(rows)
         else:
-            df = df.join(self.frontier.select("url"), "url", "left_anti") \
+            df = df.join(self._seen_urls_view(), "url", "left_anti") \
                    .select(*[f.name for f in FRONTIER_SCHEMA.fields])
             n = df.count()
-            self.next_id += n
-            self.queued_count = (self.queued_count or 0) + n
-            if self.store is not None:
-                committed = self.store.commit_wave(
-                    self.wave, df, self._driver_state(), bloom=self.bloom)
-                self.frontier = self._commit(
-                    self.frontier.unionByName(committed))
-            else:
-                self.frontier = self._commit(self.frontier.unionByName(df))
-                self._bloom_add(df)
+        self.next_id += n
+        self.queued_count = (self.queued_count or 0) + n
+        if self.store is not None:
+            part = self.store.commit_wave(
+                self.wave, df, self._driver_state(), bloom=self.bloom,
+                auto_compact=False)
+        else:
+            part = df.localCheckpoint(eager=True)
+            self._bloom_add(part)
+        self._append_enqueue(part, n)
 
     def seed_frontier(self, urls: DataFrame, depth: int = 1) -> int:
         """Distributed bulk seed — the 10^8-seed path (no driver loop).
@@ -320,7 +454,8 @@ class WaveCrawler:
         canonicalize first (functions.urlkit.process_url semantics).
         Returns the number of rows enqueued."""
         cols = urls.columns
-        if self.frontier is None:
+        frontier_empty = self.frontier is None
+        if frontier_empty:
             # pure bulk seed: no seed-chain row exists, so the first-request
             # special case (P11) can never trigger — unlock the fused wave
             # path immediately
@@ -350,8 +485,8 @@ class WaveCrawler:
             F.lit(self.wave).cast("int").alias("wave"),
             self._host_bucket_col(), F.lit(False).alias("is_seed_chain"),
             F.lit(None).cast(FRONTIER_SCHEMA["state"].dataType).alias("state"))
-        if self.frontier is not None:
-            df = df.join(self.frontier.select("url"), "url", "left_anti")
+        if not frontier_empty:
+            df = df.join(self._seen_urls_view(), "url", "left_anti")
         df = df.select(*[f.name for f in FRONTIER_SCHEMA.fields])
         added = {"n": 0}
 
@@ -368,21 +503,16 @@ class WaveCrawler:
             return self._driver_state()
 
         if self.store is not None:
-            committed = self.store.commit_wave(
-                self.wave, df, account, bloom=self.bloom)
-            base = committed if self.frontier is None \
-                else self.frontier.unionByName(committed)
-            self.frontier = self._commit(base)
+            part = self.store.commit_wave(
+                self.wave, df, account, bloom=self.bloom, auto_compact=False)
         else:
-            account(df)  # one extra pass over the anti-joined delta
-            base = df if self.frontier is None \
-                else self.frontier.unionByName(df)
-            self.frontier = self._commit(base)
+            # materialize the (possibly anti-joined) delta once, then derive
+            # counters + bloom bits from the materialized part
+            part = df.localCheckpoint(eager=True)
+            account(part)
             if added["n"]:
-                self._bloom_add(self.frontier.filter(
-                    (F.col("wave") == self.wave) &
-                    (F.col("status") == "queued") & (F.col("referrer") == "")
-                    & ~F.col("is_seed_chain")))
+                self._bloom_add(part)
+        self._append_enqueue(part, added["n"])
         return added["n"]
 
     def queue_url(self, url: str, referrer: Optional[dict] = None,
@@ -406,8 +536,8 @@ class WaveCrawler:
         df = self.spark.createDataFrame(
             [self._item_row(it, self.next_id, it["depth"], ref_url or "", False)],
             FRONTIER_SCHEMA).withColumn("host_bucket", self._host_bucket_col())
-        if not force:
-            df = df.join(self.frontier.select("url"), "url", "left_anti")
+        if not force and self.frontier is not None:
+            df = df.join(self._seen_urls_view(), "url", "left_anti")
         df = df.select(*[f.name for f in FRONTIER_SCHEMA.fields])
         added = 1 if force else df.count()
         if added:
@@ -415,13 +545,13 @@ class WaveCrawler:
             self.queued_count = (self.queued_count or 0) + added
             self._count("queueadd", added)
             if self.store is not None:
-                committed = self.store.commit_wave(
-                    self.wave, df, self._driver_state(), bloom=self.bloom)
-                self.frontier = self._commit(
-                    self.frontier.unionByName(committed))
+                part = self.store.commit_wave(
+                    self.wave, df, self._driver_state(), bloom=self.bloom,
+                    auto_compact=False)
             else:
-                self.frontier = self._commit(self.frontier.unionByName(df))
-                self._bloom_add(df)
+                part = df.localCheckpoint(eager=True)
+                self._bloom_add(part)
+            self._append_enqueue(part, added)
         else:
             self._count("queueduplicate", 1)
 
@@ -686,7 +816,6 @@ class WaveCrawler:
     def run_wave(self) -> None:
         cfg = self.config
         spark = self.spark
-        frontier = self.frontier
         wave_events: Dict[str, int] = {}
 
         def count(name, n):
@@ -694,7 +823,10 @@ class WaveCrawler:
                 wave_events[name] = wave_events.get(name, 0) + int(n)
             self._count(name, n)
 
-        due_all = select_due(frontier, cfg.tokens_per_host_per_wave,
+        # due selection reads ONLY the pending view (every pending row is
+        # 'queued' — no status scan over the settled mass of the frontier)
+        due_all = select_due(self._pending_view(),
+                             cfg.tokens_per_host_per_wave,
                              approx_rows=self.queued_count)
         picked = None
         if cfg.record_fetch_log and not self._fetch_log_overflow:
@@ -1129,6 +1261,7 @@ class WaveCrawler:
                 w = Window.partitionBy("url").orderBy("referrer_id", "pos")
                 first_seen = accepted.withColumn(
                     "__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+                seen_urls = self._seen_urls_view()
                 if self.bloom is not None:
                     # Bloom pre-filter (no false negatives): rows the filter
                     # rejects are definitely fresh; only the maybe_seen
@@ -1138,12 +1271,11 @@ class WaveCrawler:
                                               self._host_bucket_col()))
                     maybe = probed.filter(F.col("__maybe_seen"))
                     fresh = (probed.filter(~F.col("__maybe_seen"))
-                             .unionByName(maybe.join(frontier.select("url"),
+                             .unionByName(maybe.join(seen_urls,
                                                      "url", "left_anti"))
                              .drop("__maybe_seen", "host_bucket"))
                 else:
-                    fresh = first_seen.join(frontier.select("url"),
-                                            "url", "left_anti")
+                    fresh = first_seen.join(seen_urls, "url", "left_anti")
                 # dense reference-identical ids in ALL modes. 'composite'
                 # (scale) always takes the distributed two-phase ranking —
                 # one range-shuffle of the FRESH rows only (≤ politeness
@@ -1190,27 +1322,24 @@ class WaveCrawler:
                 F.lit("disallowed").alias("status"), "wave", "host_bucket",
                 "is_seed_chain", "state"))
 
-        untouched = frontier.join(outcome.select("id"), "id", "left_anti")
-        next_frontier = untouched.unionByName(outcome)
-        if new_rows is not None:
-            next_frontier = next_frontier.unionByName(new_rows)
-        next_frontier = next_frontier.select(
-            *[f.name for f in FRONTIER_SCHEMA.fields])
+        # the wave's delta = versioned rows only (outcome status updates +
+        # fresh enqueues). The WHOLE frontier is never rebuilt: the
+        # materialized delta is appended to the base+delta working copy
+        # (_append_wave_outcome) — per-wave commit I/O is O(delta), not
+        # O(frontier); ratio-triggered compaction amortizes the rest.
+        delta = outcome if new_rows is None \
+            else outcome.unionByName(new_rows)
+        delta = delta.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        n_due_total = stats["fetchstart"] + n_due_disallowed
 
         self.wave += 1
         if self.store is not None:
-            # snapshot commit path: delta = versioned rows only (MoR). The
-            # manifest's counters are finalized AFTER the delta parquet is
-            # written, counting new rows from the materialized files rather
-            # than re-evaluating the enqueue plan.
-            delta = outcome if new_rows is None \
-                else outcome.unionByName(new_rows)
-            delta = delta.select(*[f.name for f in FRONTIER_SCHEMA.fields])
-
+            # the manifest's counters are finalized AFTER the delta parquet
+            # is written, counting new rows from the materialized files
+            # rather than re-evaluating the enqueue plan.
             def finalize(_committed: DataFrame) -> dict:
                 # n_new is known pre-commit (dense-id count phase); only
                 # the queued-count bookkeeping happens at manifest time
-                n_due_total = stats["fetchstart"] + n_due_disallowed
                 if self.queued_count is not None:
                     self.queued_count = \
                         self.queued_count - n_due_total + n_new
@@ -1218,25 +1347,21 @@ class WaveCrawler:
 
             with _timed("commit"):
                 committed = self.store.commit_wave(
-                    self.wave, delta, finalize, bloom=self.bloom)
-                # durability log written; working frontier is maintained
-                # incrementally (untouched ∪ materialized delta) — no
-                # per-wave merge-on-read over the whole delta history
-                self.frontier = self._commit(
-                    untouched.unionByName(committed))
+                    self.wave, delta, finalize, bloom=self.bloom,
+                    auto_compact=False)
         else:
             with _timed("commit"):
-                self.frontier = self._commit(next_frontier)
-            n_due_total = stats["fetchstart"] + n_due_disallowed
+                committed = self._commit(delta)
             if self.queued_count is not None:
                 self.queued_count = self.queued_count - n_due_total + n_new
         wave_events["wave"] = self.wave - 1
         self.metrics.append(wave_events)
         if n_new and self.store is None:
-            # post-commit: frontier is localCheckpointed, so the wave filter
-            # reads materialized data — no recompute of the enqueue plan.
+            # post-commit: the delta is materialized, so the queued filter
+            # reads checkpointed data — no recompute of the enqueue plan.
             # (Store-backed runs add inside commit_wave for crash safety.)
-            self._bloom_add(self.frontier.filter(F.col("wave") == self.wave))
+            self._bloom_add(committed.filter(F.col("status") == "queued"))
+        self._append_wave_outcome(committed, n_due_total + n_new)
         for df in (resp, *([processed] if processed is not None else []),
                    *self._wave_caches):
             df.unpersist()

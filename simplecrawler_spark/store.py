@@ -88,7 +88,7 @@ class SnapshotStore:
 
     # --------------------------------------------------------------- commits
     def commit_wave(self, wave: int, delta: DataFrame, state: dict,
-                    bloom=None) -> DataFrame:
+                    bloom=None, auto_compact: bool = True) -> DataFrame:
         """Atomically commit one snapshot: delta parquet, then the Bloom
         side-table generation, then the manifest. Crash-window analysis:
         orphan delta (pre-manifest) is ignored on resume; a Bloom generation
@@ -99,10 +99,17 @@ class SnapshotStore:
         Returns the committed delta re-read from parquet (canonical column
         order) so the caller can reuse the materialized bytes instead of
         recomputing the delta plan — the store is a durability log; the
-        crawler maintains its working frontier incrementally."""
+        crawler maintains its working frontier incrementally.
+
+        ``auto_compact=False``: callers that keep LAZY references to
+        previously committed delta parquet (the crawler's base+delta
+        working frontier) must drive compaction themselves — compact()
+        DELETES old delta directories, which would otherwise vanish under
+        the reader."""
         # compact BEFORE writing the new delta: the delta committed here must
         # stay on disk until the caller has consumed the returned DataFrame
-        if len([w for w in self.waves if not w.get("compacted")]) \
+        if auto_compact and len([w for w in self.waves
+                                 if not w.get("compacted")]) \
                 >= self.compact_every:
             self.compact()
         seq = self.waves[-1]["seq"] + 1 if self.waves else 0
@@ -141,12 +148,17 @@ class SnapshotStore:
         self._write_manifest()
         return committed
 
-    def compact(self) -> None:
+    def compact(self, current: Optional[DataFrame] = None) -> None:
         """Rewrite the MoR union into a single base delta (bounded read
-        amplification — the Iceberg rewrite_data_files analog)."""
+        amplification — the Iceberg rewrite_data_files analog).
+
+        ``current``: optionally the already-merged frontier (the crawler's
+        freshly checkpointed working copy is row-identical to the MoR merge
+        by construction) — skips re-merging every committed delta."""
         if not self.waves:
             return
-        current = self.current_frontier()
+        if current is None:
+            current = self.current_frontier()
         wave = self.waves[-1]["wave"]
         seq = self.waves[-1]["seq"]
         rel = f"deltas/base={seq}"
