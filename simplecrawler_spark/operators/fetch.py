@@ -120,6 +120,70 @@ def make_live_fetcher(config: CrawlerConfig, cookies: list):
     return fetch
 
 
+def make_live_robots_fetcher(config: CrawlerConfig, rules):
+    """mapInPandas kernel for live robots.txt fetches: (origin, url) rows →
+    (origin, body) rows. Each row follows its OWN redirect chain inside the
+    kernel (≤6 hops, domain-gated with ``rules`` exactly like the simulated
+    batch — getRobotsTxt semantics, /root/reference/src/crawler.ts:1368-1473),
+    so the whole fan-out runs executor-side: the driver does no HTTP. Rows
+    in a batch are drained by a thread pool capped at ``max_concurrency``
+    (the C2 cap, per executor)."""
+    from ..functions.decode import decode_buffer, unzip
+    timeout = config.timeout_ms / 1000.0
+    max_conc = max(int(config.max_concurrency), 1)
+    ua = config.user_agent
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.filters import domain_valid
+        from ..functions.uriref import Uri
+        opener = urllib.request.build_opener(_NoRedirect)
+
+        def one(args):
+            origin, url = args
+            for _hop in range(6):
+                try:
+                    req = urllib.request.Request(
+                        url, headers={"User-Agent": ua})
+                    with opener.open(req, timeout=timeout) as resp:
+                        body, code, h = resp.read(), resp.status, resp.headers
+                except urllib.error.HTTPError as e:
+                    body = e.read() if e.fp is not None else b""
+                    code, h = e.code, e.headers
+                except Exception:
+                    return origin, None
+                ctype, cenc = h.get("Content-Type"), h.get("Content-Encoding")
+                if 200 <= code < 300:
+                    if "gzip" in (cenc or "") or "deflate" in (cenc or ""):
+                        body, err = unzip(body)
+                        if err:
+                            return origin, None
+                    return origin, decode_buffer(body, ctype or "")
+                if 300 <= code < 400 and h.get("Location"):
+                    try:
+                        target = Uri(h.get("Location")) \
+                            .absolute_to(url).normalize()
+                    except Exception:
+                        return origin, None
+                    if not domain_valid(target.hostname(), rules):
+                        return origin, None
+                    url = target.href()
+                    continue
+                return origin, None
+            return origin, None
+
+        for pdf in batches:
+            args = list(zip(pdf["origin"], pdf["url"]))
+            if len(args) == 1:
+                results = [one(args[0])]
+            else:
+                with ThreadPoolExecutor(max_conc) as ex:
+                    results = list(ex.map(one, args))
+            yield pd.DataFrame({"origin": [r[0] for r in results],
+                                "body": [r[1] for r in results]})
+
+    return fetch
+
+
 def live_fetch_stage(due: DataFrame, config: CrawlerConfig,
                      jar: Optional[CookieJar] = None,
                      cache: Optional[DataFrame] = None) -> DataFrame:

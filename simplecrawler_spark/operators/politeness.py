@@ -42,7 +42,8 @@ TWO_PHASE_MIN_ROWS = 2_000_000
 def select_due(frontier: DataFrame, tokens_per_host: Optional[int],
                salt: int = DEFAULT_RANK_SALT,
                approx_rows: Optional[int] = None,
-               two_phase_min_rows: int = TWO_PHASE_MIN_ROWS) -> DataFrame:
+               two_phase_min_rows: int = TWO_PHASE_MIN_ROWS,
+               host_budgets: Optional[dict] = None) -> DataFrame:
     """FIFO head selection (Q5 generalized): all queued rows, optionally
     budget-capped per host in id order via a skew-safe two-phase top-k.
 
@@ -50,15 +51,36 @@ def select_due(frontier: DataFrame, tokens_per_host: Optional[int],
     it incrementally — free). When provided and below
     ``two_phase_min_rows``, phase 1 is skipped: a frontier that small sorts
     any host in one task faster than the pre-rank's extra shuffle costs.
-    When unknown (None), the skew-safe path is taken unconditionally."""
+    When unknown (None), the skew-safe path is taken unconditionally.
+
+    ``host_budgets``: optional host → tokens overrides (each ≤
+    ``tokens_per_host``) — the robots Crawl-delay consumer. Joined in as a
+    broadcast side table, so the budget lookup never ships a literal map
+    through the plan; hosts absent from the map keep the default budget.
+    The two-phase pre-cut stays at ``tokens_per_host`` (the maximum), which
+    preserves exactness for every per-host budget below it."""
+
+    def _cap(ranked: DataFrame) -> DataFrame:
+        cols = [c for c in ranked.columns if c != "__rk"]
+        if not host_budgets:
+            return (ranked.filter(F.col("__rk") <= tokens_per_host)
+                    .drop("__rk"))
+        spark = ranked.sparkSession
+        bdf = spark.createDataFrame(
+            list(host_budgets.items()), "host string, __budget int")
+        # re-select the input column order: the equi-join hoists the join
+        # key to the front, which would break positional consumers
+        return (ranked.join(F.broadcast(bdf), "host", "left")
+                .filter(F.col("__rk") <= F.coalesce(F.col("__budget"),
+                                                    F.lit(tokens_per_host)))
+                .select(*cols))
+
     queued = frontier.filter(F.col("status") == "queued")
     if tokens_per_host is None:
         return queued
     if approx_rows is not None and approx_rows < two_phase_min_rows:
         w2 = Window.partitionBy("host").orderBy("id")
-        return (queued.withColumn("__rk", F.row_number().over(w2))
-                .filter(F.col("__rk") <= tokens_per_host)
-                .drop("__rk"))
+        return _cap(queued.withColumn("__rk", F.row_number().over(w2)))
     # phase 1: pre-rank within (host, xxhash64(id) % salt) groups — bounds
     # any single task's sort to ~1/salt of a hot host's rows. Hashing the id
     # (rather than id % salt) keeps groups uniform even when a host's ids
@@ -71,6 +93,4 @@ def select_due(frontier: DataFrame, tokens_per_host: Optional[int],
                  .filter(F.col("__rk") <= tokens_per_host).drop("__rk"))
     # phase 2: exact per-host rank over ≤ salt*tokens survivors per host
     w2 = Window.partitionBy("host").orderBy("id")
-    return (pre.withColumn("__rk", F.row_number().over(w2))
-               .filter(F.col("__rk") <= tokens_per_host)
-               .drop("__rk"))
+    return _cap(pre.withColumn("__rk", F.row_number().over(w2)))

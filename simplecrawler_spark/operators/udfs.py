@@ -15,9 +15,9 @@ Two mapInPandas passes carry ALL per-row Python work of a wave:
 Everything else in the wave (status branching, joins, dedupe, politeness
 ranking, id assignment) is JVM-side DataFrame code — no per-row Python.
 
-The robots store is passed as parsed-rule rows (host-scoped, touch-ordered)
-so the closure ships compactly to executors; at 10^10-URL scale this becomes
-a broadcast ``robots_rules`` side table instead of a closure capture.
+The robots store reaches executors as a Spark broadcast (one executor-cached
+copy, rebuilt only when a robots file is added) — never as a per-wave closure
+capture, which would be O(hosts) serialized bytes per wave at 10^6+ hosts.
 """
 
 from __future__ import annotations
@@ -121,7 +121,7 @@ def make_body_processor(config: CrawlerConfig) -> Callable:
     return process
 
 
-def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFile],
+def make_candidate_processor(config: CrawlerConfig, robots,
                              crawl_host: str) -> Callable:
     """mapInPandas kernel over CANDIDATE_SCHEMA rows → PROCESSED_CANDIDATE rows.
 
@@ -130,6 +130,10 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
     fetchprevented; depth gate (crawler.ts:1086-1090) applies only to rows
     with skip_depth_gate == False (discoveries — redirects and sitemaps
     bypass it, see R1/S3).
+
+    ``robots``: a Spark Broadcast of a RobotsStore (the wave engine's shape
+    — one executor-cached copy, never O(#robots) closure bytes per wave),
+    or a plain list of RobotsFile for driverless/unit use.
     """
     opts = config.url_options()
     rules = DomainRules(
@@ -139,9 +143,12 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
         scan_subdomains=config.scan_subdomains,
         domain_whitelist=list(config.domain_whitelist),
     )
-    store = RobotsStore(config.user_agent)
-    for rf in robots_files:
-        store.add(rf)  # populates the origin index (never assign .files)
+    if hasattr(robots, "value"):          # pyspark Broadcast[RobotsStore]
+        robots_bc, robots_local = robots, None
+    else:
+        robots_bc, robots_local = None, RobotsStore(config.user_agent)
+        for rf in robots:
+            robots_local.add(rf)  # populates the origin index
     max_depth = config.max_depth
     fetch_conditions = config.fetch_conditions
     respect_robots = config.respect_robots_txt
@@ -159,6 +166,9 @@ def make_candidate_processor(config: CrawlerConfig, robots_files: List[RobotsFil
                     and not fetch_conditions)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # broadcast resolution is a cached executor-local read after the
+        # first task on each python worker
+        store = robots_bc.value if robots_bc is not None else robots_local
         domain_cache = {}  # host -> domain_valid verdict (hosts repeat a lot)
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)

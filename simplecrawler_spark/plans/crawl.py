@@ -106,6 +106,23 @@ class WaveCrawler:
         self.pages = pages
         self.cache = cache  # (url, etag, last_modified) from a previous crawl
         self.robots = RobotsStore(config.user_agent)
+        # robots state reaches executors as ONE broadcast, rebuilt only when
+        # a robots file is added — never closure-shipped per wave (at 10^6+
+        # hosts the closure copy was O(hosts) serialized bytes per wave)
+        self._robots_bc = None
+        self._robots_bc_version = -1
+        # robots/touched append-only side log bookkeeping (store-backed
+        # runs): the manifest carries COUNTS, not bodies — O(1) per commit
+        self._robots_flushed = {"touches": 0, "files": 0}
+        # touched-origin side table for the distributed due path: the
+        # per-wave trigger collect anti-joins it so only NEW origins reach
+        # the driver (O(new origins), not O(due hosts))
+        self._touched_trig_set: set = set()
+        self._touched_base: Optional[DataFrame] = None
+        self._touched_parts: List[DataFrame] = []
+        # host → politeness budget from robots Crawl-delay ((dict, n_files
+        # examined) — grown incrementally as robots files arrive)
+        self._delay_budgets_cache: tuple = ({}, 0)
         self.jar = CookieJar()
         self.metrics: List[Dict] = []
         self.fetch_log: List[tuple] = []   # (wave, id, url) in fetch-start order
@@ -364,22 +381,34 @@ class WaveCrawler:
     # ----------------------------------------------------- checkpoint/resume
     def _driver_state(self) -> dict:
         """Serializable driver-side crawl state for the snapshot manifest
-        (the freeze contract, queue.ts:268-279 + crawler fields)."""
-        return {
+        (the freeze contract, queue.ts:268-279 + crawler fields).
+
+        Robots bodies + touched origins live in the store's APPEND-ONLY side
+        log (each written once, ever); the manifest records only the counts
+        — the manifest rewrite stays O(1) in host count per wave (the old
+        inline lists were O(hosts) re-serialized JSON on every commit)."""
+        state = {
             "wave": self.wave,
             "next_id": self.next_id,
             "queued_count": self.queued_count,
             "crawl_host": self.crawl_host,
             "first_request_active": self.first_request_active,
-            "robots": [{"url": rf.url, "body": rf.body}
-                       for rf in self.robots.files],
-            "touched": list(self.robots.touched_hosts),
             "cookies": [{"name": c.name, "value": c.value,
                          "expires": c.expires, "path": c.path,
                          "domain": c.domain, "httponly": c.httponly}
                         for c in self.jar.cookies],
             "events": dict(self.events),
         }
+        if self.store is not None:
+            self._flush_robots_log()
+            state["robots_log"] = {
+                "touches": len(self.robots.touched_hosts),
+                "files": len(self.robots.files)}
+        else:
+            state["robots"] = [{"url": rf.url, "body": rf.body}
+                               for rf in self.robots.files]
+            state["touched"] = list(self.robots.touched_hosts)
+        return state
 
     @classmethod
     def resume(cls, spark: SparkSession, pages: DataFrame, config: CrawlerConfig,
@@ -398,9 +427,20 @@ class WaveCrawler:
         c.crawl_host = state["crawl_host"]
         c.first_request_active = state["first_request_active"]
         c.events = dict(state.get("events", {}))
-        for origin in state["touched"]:
+        if "robots_log" in state:
+            # side-log format: replay exactly the prefix the committed
+            # manifest references (a crash between log append and manifest
+            # write leaves an orphan suffix, truncated here)
+            counts = state["robots_log"]
+            touches, robots = store.read_robots_log(
+                counts["touches"], counts["files"])
+            c._robots_flushed = dict(counts)
+        else:  # legacy inline-manifest format
+            touches = state["touched"]
+            robots = state["robots"]
+        for origin in touches:
             c.robots.touch(origin)  # rebuilds the touched set + order
-        for r in state["robots"]:
+        for r in robots:
             c.robots.add(parse_robots(r["url"], r["body"]))
         for k in state["cookies"]:
             c.jar.cookies.append(Cookie(**k))
@@ -556,6 +596,77 @@ class WaveCrawler:
             self._count("queueduplicate", 1)
 
     # ------------------------------------------------------------ robots (S3)
+    def _robots_broadcast(self):
+        """Current robots store as a Spark broadcast — rebuilt only when a
+        robots file was added since the last build. Executors unpickle the
+        store once per python worker (workers are reused), so per-task cost
+        is a cached ``.value`` read instead of O(#robots) closure bytes."""
+        v = len(self.robots.files)
+        if self._robots_bc is None or self._robots_bc_version != v:
+            if self._robots_bc is not None:
+                self._robots_bc.unpersist()
+            self._robots_bc = self.spark.sparkContext.broadcast(self.robots)
+            self._robots_bc_version = v
+        return self._robots_bc
+
+    def _flush_robots_log(self) -> None:
+        """Append robots state ADDED since the last flush to the store's
+        side log (content written once, ever) — the manifest then records
+        only counts. Called from _driver_state() so every manifest commit
+        has its log prefix durable first; a crash between the two leaves an
+        orphan suffix that resume truncates."""
+        if self.store is None:
+            return
+        t0, f0 = self._robots_flushed["touches"], self._robots_flushed["files"]
+        touches = self.robots.touched_hosts[t0:]
+        files = self.robots.files[f0:]
+        if not touches and not files:
+            return
+        self.store.append_robots_log(
+            [{"touch": o} for o in touches]
+            + [{"robots": {"url": rf.url, "body": rf.body}} for rf in files])
+        self._robots_flushed = {"touches": t0 + len(touches),
+                                "files": f0 + len(files)}
+
+    def _crawl_delay_budgets(self) -> Optional[dict]:
+        """host → per-wave token budget implied by a parsed ``Crawl-delay``
+        (functions/robots.py parse): the wave models ``tokens_per_host``
+        scheduler ticks of ``interval_ms`` each, so a host asking for one
+        fetch per ``delay`` seconds gets
+        min(config budget, floor(wave_duration / delay)), floored at 1 so
+        the host keeps making progress. First-touched file per host wins
+        (the same precedence as robots verdicts). Incrementally maintained —
+        only robots files added since the last wave are examined."""
+        tokens = self.config.tokens_per_host_per_wave
+        if tokens is None:
+            return None
+        cache, n_seen = self._delay_budgets_cache
+        for rf in self.robots.files[n_seen:]:
+            if rf.host in cache:
+                continue
+            delay = rf.get_crawl_delay(self.config.user_agent)
+            if delay and delay > 0:
+                wave_ms = tokens * self.config.interval_ms
+                cache[rf.host] = min(
+                    tokens, max(1, int(wave_ms / (delay * 1000.0))))
+        self._delay_budgets_cache = (cache, len(self.robots.files))
+        return cache or None
+
+    def _touched_view(self) -> Optional[DataFrame]:
+        """(protocol, host, port) keys already robots-triggered — small side
+        table for the trigger anti-join. Parts are driver local relations;
+        compacted to a checkpoint when the list grows wide."""
+        if len(self._touched_parts) > 32:
+            base = self._touched_base
+            for p in self._touched_parts:
+                base = p if base is None else base.unionByName(p)
+            self._touched_base = base.localCheckpoint(eager=True)
+            self._touched_parts = []
+        out = self._touched_base
+        for p in self._touched_parts:
+            out = p if out is None else out.unionByName(p)
+        return out
+
     def _fetch_robots_batch(self, pairs: List[tuple]) -> Dict[str, Optional[str]]:
         """Batched getRobotsTxt (crawler.ts:1368-1473): ONE broadcast join
         against the pages table per redirect round (≤6 rounds, typically 1),
@@ -632,59 +743,21 @@ class WaveCrawler:
 
     def _fetch_robots_batch_live(self, pairs: List[tuple],
                                  rules) -> Dict[str, Optional[str]]:
-        """Live-mode robots fetch: real HTTP, concurrent across origins
-        (driver-side pool — robots fetches are one per NEW origin per wave;
-        at larger scale the same kernel runs executor-side via the fetch
-        stage). Redirects followed manually (≤6 hops, domain-gated),
-        identical verdict semantics to the simulated batch."""
-        import urllib.error
-        import urllib.request
-        from concurrent.futures import ThreadPoolExecutor
-
-        from ..functions.filters import domain_valid
-        from ..functions.uriref import Uri
-        from ..operators.fetch import _NoRedirect
-        opener = urllib.request.build_opener(_NoRedirect)
-        timeout = self.config.timeout_ms / 1000.0
-        ua = self.config.user_agent
-
-        def one(pair):
-            origin, url = pair
-            for _hop in range(6):
-                try:
-                    req = urllib.request.Request(
-                        url, headers={"User-Agent": ua})
-                    with opener.open(req, timeout=timeout) as resp:
-                        body, code = resp.read(), resp.status
-                        h = resp.headers
-                except urllib.error.HTTPError as e:
-                    body = e.read() if e.fp is not None else b""
-                    code, h = e.code, e.headers
-                except Exception:
-                    return origin, None
-                ctype, cenc = h.get("Content-Type"), h.get("Content-Encoding")
-                if 200 <= code < 300:
-                    if "gzip" in (cenc or "") or "deflate" in (cenc or ""):
-                        unzipped, err = unzip(body)
-                        if err:
-                            return origin, None
-                        body = unzipped
-                    return origin, decode_buffer(body, ctype or "")
-                if 300 <= code < 400 and h.get("Location"):
-                    try:
-                        target = Uri(h.get("Location")) \
-                            .absolute_to(url).normalize()
-                    except Exception:
-                        return origin, None
-                    if not domain_valid(target.hostname(), rules):
-                        return origin, None
-                    url = target.href()
-                    continue
-                return origin, None
-            return origin, None
-
-        with ThreadPoolExecutor(max(self.config.max_concurrency, 1)) as ex:
-            return dict(ex.map(one, pairs))
+        """Live-mode robots fetch, EXECUTOR-side: the (origin, robots_url)
+        pairs fan out as an Arrow batch over the cluster; each row follows
+        its own redirect chain inside the kernel (≤6 hops, domain-gated) —
+        the driver does no HTTP. Identical verdict semantics to the
+        simulated batch; only the parsed bodies return to the driver."""
+        from ..operators.fetch import make_live_robots_fetcher
+        want = self.spark.createDataFrame(
+            list(pairs), "origin string, url string")
+        n_parts = min(len(pairs),
+                      self.spark.sparkContext.defaultParallelism)
+        rows = (want.repartition(max(n_parts, 1))
+                .mapInPandas(make_live_robots_fetcher(self.config, rules),
+                             "origin string, body string")
+                .collect())
+        return {r["origin"]: r["body"] for r in rows}
 
     def _robots_from_triggers(self, triggers: List[tuple]) -> List[dict]:
         """Per new host origin (touch order = trigger id order): fetch+parse
@@ -694,6 +767,15 @@ class WaveCrawler:
 
         ``triggers``: (id, depth, url, protocol, host, port) of the first due
         item per origin."""
+        new_keys = []
+        for (_tid, _td, _tu, proto, host, port) in triggers:
+            k = (proto, host, port)
+            if k not in self._touched_trig_set:
+                self._touched_trig_set.add(k)
+                new_keys.append(k)
+        if new_keys:
+            self._touched_parts.append(self.spark.createDataFrame(
+                new_keys, "protocol string, host string, port int"))
         pending: List[tuple] = []
         for (tid, tdepth, turl, proto, host, port) in sorted(triggers):
             origin = _origin_url(proto, host, port)
@@ -772,17 +854,25 @@ class WaveCrawler:
             self.spark.sparkContext.defaultParallelism, "host_bucket", "id")
         sitemap_candidates: List[dict] = []
         if self.config.respect_robots_txt:
-            trig = (due_all.groupBy("protocol", "host", "port")
-                    .agg(F.min(F.struct("id", "depth", "url")).alias("t"))
-                    .select("t.id", "t.depth", "t.url", "protocol", "host", "port")
+            trig_df = (due_all.groupBy("protocol", "host", "port")
+                       .agg(F.min(F.struct("id", "depth", "url")).alias("t")))
+            touched = self._touched_view()
+            if touched is not None:
+                # only NEW origins reach the driver — O(new origins) per
+                # wave, not O(due hosts)
+                trig_df = trig_df.join(touched, ["protocol", "host", "port"],
+                                       "left_anti")
+            trig = (trig_df.select("t.id", "t.depth", "t.url",
+                                   "protocol", "host", "port")
                     .collect())
             sitemap_candidates = self._robots_from_triggers(
                 [tuple(r) for r in trig])
         if not (self.config.respect_robots_txt and self.robots.files):
             return due_all, None, 0, sitemap_candidates
-        store = self.robots
+        bc = self._robots_broadcast()
 
         def check(batches):
+            store = bc.value
             for pdf in batches:
                 pdf = pdf.copy()
                 pdf["robots_ok"] = [store.url_is_allowed(u) for u in pdf["url"]]
@@ -827,7 +917,8 @@ class WaveCrawler:
         # 'queued' — no status scan over the settled mass of the frontier)
         due_all = select_due(self._pending_view(),
                              cfg.tokens_per_host_per_wave,
-                             approx_rows=self.queued_count)
+                             approx_rows=self.queued_count,
+                             host_budgets=self._crawl_delay_budgets())
         picked = None
         if cfg.record_fetch_log and not self._fetch_log_overflow:
             picked = self._due_driver_path(due_all)
@@ -1107,7 +1198,7 @@ class WaveCrawler:
             for p in cand_parts[1:]:
                 candidates = candidates.unionByName(p)
             out = candidates.mapInPandas(
-                make_candidate_processor(cfg, self.robots.files,
+                make_candidate_processor(cfg, self._robots_broadcast(),
                                          self.crawl_host),
                 PROCESSED_CANDIDATE_SCHEMA).persist()
             self._wave_caches.append(out)

@@ -86,6 +86,58 @@ class SnapshotStore:
     def last_state(self) -> Optional[dict]:
         return self.waves[-1]["state"] if self.waves else None
 
+    # ----------------------------------------------------- robots side log
+    # Robots bodies + touched origins are append-only crawl state: each
+    # entry is written ONCE, ever, to robots_log.jsonl; the manifest then
+    # carries only prefix counts. (The old design re-serialized every robots
+    # BODY into the manifest JSON on every wave — O(hosts) rewrite/commit.)
+
+    def _robots_log_path(self) -> str:
+        return os.path.join(self.path, "robots_log.jsonl")
+
+    def append_robots_log(self, entries: List[dict]) -> None:
+        """Durably append entries ({"touch": origin} or {"robots": {url,
+        body}}) — called before the manifest commit that references them."""
+        with open(self._robots_log_path(), "a") as f:
+            for e in entries:
+                f.write(json.dumps(e) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def read_robots_log(self, n_touches: int,
+                        n_files: int) -> Tuple[List[str], List[dict]]:
+        """Read the committed prefix (first ``n_touches`` touch entries +
+        first ``n_files`` robots entries) and TRUNCATE any orphan suffix
+        left by a crash between log append and manifest write, so a later
+        re-append cannot duplicate entries."""
+        touches: List[str] = []
+        robots: List[dict] = []
+        kept: List[str] = []
+        p = self._robots_log_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    e = json.loads(line)
+                    if "touch" in e and len(touches) < n_touches:
+                        touches.append(e["touch"])
+                        kept.append(line)
+                    elif "robots" in e and len(robots) < n_files:
+                        robots.append(e["robots"])
+                        kept.append(line)
+        if len(touches) < n_touches or len(robots) < n_files:
+            raise ValueError("robots log shorter than the committed manifest "
+                             f"prefix ({len(touches)}/{n_touches} touches, "
+                             f"{len(robots)}/{n_files} files)")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.writelines(kept)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+        return touches, robots
+
     # --------------------------------------------------------------- commits
     def commit_wave(self, wave: int, delta: DataFrame, state: dict,
                     bloom=None, auto_compact: bool = True) -> DataFrame:

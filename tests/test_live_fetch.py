@@ -64,6 +64,39 @@ def test_live_main_crawl_golden(spark, server):
         "Yay, you know how to deal with gzip compression!"
 
 
+def test_live_multi_origin_robots(spark, server):
+    """Executor-side robots fetch over real sockets with >1 origin: the
+    cross-port golden (testcrawl.integration.spec.ts:149-175) plus a
+    two-origins-in-one-batch seed — the driver does no HTTP."""
+    try:
+        srv2 = serve_fixture(3001)
+    except OSError:
+        pytest.skip("port 3001 unavailable")
+    try:
+        c = WaveCrawler(spark, None, CrawlerConfig(
+            initial_url=BASE + "/to/other/port", live_fetch=True,
+            filter_by_domain=False))
+        c.run()
+        fm = {u: s for u, (s, _) in _frontier_map(c).items()}
+        assert fm["http://127.0.0.1:3001/disallowed"] == "disallowed"
+        assert "http://127.0.0.1:3001/disallowed" not in \
+            [u for (_, _, u) in c.fetch_log]
+        assert len(c.robots.files) == 2   # both origins' robots parsed
+
+        # two new origins in ONE wave batch (localhost + 127.0.0.1)
+        c2 = WaveCrawler(spark, None, CrawlerConfig(
+            initial_url=BASE + "/stage7", live_fetch=True,
+            filter_by_domain=False))
+        c2.seed([BASE + "/stage7", "http://localhost:3000/stage7"])
+        c2.run()
+        fm2 = {u: s for u, (s, _) in _frontier_map(c2).items()}
+        assert fm2[BASE + "/stage7"] == "downloaded"
+        assert fm2["http://localhost:3000/stage7"] == "downloaded"
+        assert len(c2.robots.files) == 2
+    finally:
+        srv2.shutdown()
+
+
 def test_live_timeout_and_304(spark, server):
     # C4: socket timeout -> 'timeout' status
     c = WaveCrawler(spark, None, CrawlerConfig(

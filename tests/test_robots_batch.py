@@ -61,4 +61,19 @@ def test_robots_batch_cross_host(spark):
             or a.frontier.filter("status = 'disallowed'").count() > 0)
     # origin index grew one entry per robots file, no duplicate origins
     assert len(a.robots._by_origin) == len(a.robots.files)
+
+    # robots reach executors as ONE broadcast, rebuilt only on growth: the
+    # version tracks the file count, and a wave with no new robots reuses
+    # the same broadcast object (no per-wave closure shipping)
+    assert b._robots_bc is not None
+    assert b._robots_bc_version == len(b.robots.files)
+    bc_before = b._robots_bc
+    assert b._robots_broadcast() is bc_before
+
+    # distributed due path: origins already triggered are anti-joined out,
+    # so the per-wave trigger collect is O(new origins)
+    assert b._touched_view() is not None
+    touched_rows = {(r["protocol"], r["host"], r["port"])
+                    for r in b._touched_view().collect()}
+    assert touched_rows == b._touched_trig_set
     pages.unpersist()
