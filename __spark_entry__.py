@@ -726,7 +726,13 @@ def oracle_sql() -> dict[str, str]:
                    ((octet_length(encode(text)) % 64) + 1)::INT AS fake_width,
                    ((('0x' || substr(md5(text), 1, 2))::INT % 64) + 1)::INT
                      AS fake_height,
-                   ('0x' || substr(md5(text), 3, 4))::INT / 65535.0 AS fake_mean
+                   ('0x' || substr(md5(text), 3, 4))::INT / 65535.0 AS fake_mean,
+                   -- text payloads are never PNGs: the real-decode probe
+                   -- (functions/png.py) cannot fire on this corpus
+                   FALSE AS decoded,
+                   CAST(NULL AS INTEGER) AS width,
+                   CAST(NULL AS INTEGER) AS height,
+                   CAST(NULL AS DOUBLE) AS mean_pixel
             FROM documents
         """,
     }

@@ -24,6 +24,9 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+# local-mode python workers resolve imports via PYTHONPATH, not the
+# driver's sys.path — export so the bench runs from any cwd
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -177,10 +180,15 @@ def crawl_bench(spark, sf: float, respect_robots: bool = False):
     crawler.first_request_active = False
 
     wave_secs = []
+    frontier_rows = []  # total frontier rows AT THE START of each wave:
+    # with the base+delta working copy, wave time must track wave size,
+    # not this number (the old per-wave full re-checkpoint made wave cost
+    # O(frontier))
     t0 = time.time()
     for _ in range(N_WAVES):
         if crawler.queued_count == 0:
             break
+        frontier_rows.append(int(crawler.next_id))
         tw = time.time()
         crawler.run_wave()
         wave_secs.append(round(time.time() - tw, 3))
@@ -199,6 +207,7 @@ def crawl_bench(spark, sf: float, respect_robots: bool = False):
             "urls_per_sec_steady": round(steady_urls / steady_secs, 1)
             if steady_secs else 0.0,
             "wave_secs": wave_secs, "wave_urls": per_wave,
+            "frontier_rows": frontier_rows,
             "waves": len(crawler.metrics), "n_pages": n_pages,
             "n_hosts": n_hosts}
 
@@ -310,13 +319,22 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     queries = entry.queries()
     times = {}
     total = 0.0
-    for name in HEADLINE:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        total += dt
+    # headline queries run in INTERLEAVED rounds, best leg per query: the
+    # sandbox VM is CPU-credit throttled, so back-to-back single runs would
+    # attribute machine drift to whichever query ran later — best-of over
+    # interleaved rounds makes cross-round comparisons drift-proof (the
+    # same protocol run_scaling already uses)
+    rounds = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "2"))
+    t_head = time.time()
+    for _round in range(rounds):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+    total += time.time() - t_head
 
     t0 = time.time()
     ann = ann_bench(spark, sf_dir, entry.PLANE_SETS)
@@ -346,6 +364,7 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "headline_rounds": rounds,
         "sf": sf,
         "cpus": cpus,
         "crawl_urls_per_sec": crawl["urls_per_sec"],

@@ -116,9 +116,12 @@ def main(argv=None) -> int:
 
     waves_run = 0
     wave_secs = []
+    wave_frontier_rows = []  # frontier size at each wave START: wave time
+    # must track wave size, not this (base+delta working copy)
     for _ in range(args.waves):
         if crawler.queued_count == 0:
             break
+        wave_frontier_rows.append(int(crawler.next_id))
         tw = time.time()
         crawler.run_wave()
         wave_secs.append(round(time.time() - tw, 3))
@@ -135,6 +138,7 @@ def main(argv=None) -> int:
                                  for m in crawler.metrics)),
         "urls_per_sec": round(processed / wall, 1) if wall else 0.0,
         "frontier_rows": crawler.frontier.count(),
+        "wave_frontier_rows": wave_frontier_rows,
         "queued_remaining": crawler.queued_count,
         "default_parallelism": spark.sparkContext.defaultParallelism,
         "store": args.store,

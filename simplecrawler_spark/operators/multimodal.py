@@ -2,15 +2,20 @@
 
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extract run as Arrow-batched ``mapInPandas``
-kernels. The decode step itself is STUBBED in this container (no PIL /
-ffmpeg): ``decode_image`` raises NotImplementedError unless
-``fake="deterministic"``, in which case a seeded, content-derived fake
-"decode" exercises the full Spark plumbing (schema, batching, partitioning)
-without the codec.
+kernels. Decode is feature-probed per payload:
 
-The deterministic fake features are intentionally SQL-expressible
-(octet_length / md5 prefixes) so the driver's DuckDB oracle can check the
-pipeline end-to-end.
+- PNGs in the stdlib-decodable subset (8-bit grey/RGB/greyA/RGBA,
+  non-interlaced) get a REAL decode via functions/png.py (zlib + struct —
+  no imaging library exists in this container): decoded=True plus true
+  width/height/mean_pixel.
+- Everything else falls back to the deterministic content-derived fake
+  (decoded=False, width/height/mean_pixel NULL), which exercises the full
+  Spark plumbing (schema, batching, partitioning) without a codec;
+  ``decode_image`` without the fake flag raises NotImplementedError for
+  non-PNG payloads, honestly marking the missing-codec boundary.
+
+The fake features are intentionally SQL-expressible (octet_length / md5
+prefixes) so the driver's DuckDB oracle can check the pipeline end-to-end.
 """
 
 from __future__ import annotations
@@ -22,8 +27,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.png import decode_png
+
 FEATURE_SCHEMA = ("doc_id long, n_bytes long, payload_hash string, "
-                  "fake_width int, fake_height int, fake_mean double")
+                  "fake_width int, fake_height int, fake_mean double, "
+                  "decoded boolean, width int, height int, "
+                  "mean_pixel double")
 
 
 def attach_payload(documents: DataFrame) -> DataFrame:
@@ -37,35 +46,48 @@ def attach_payload(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes, fake: str = None):
-    """Decode stub — real decode needs an image library not present in this
-    container. The deterministic fake derives pseudo-dimensions and a mean
-    'pixel' value from the payload hash so downstream plumbing is testable.
-    """
-    if fake != "deterministic":
-        raise NotImplementedError(
-            "image decode requires an imaging library not available here; "
-            "pass fake='deterministic' for the plumbing-test path")
+    """Feature-probed decode. PNGs in the stdlib subset decode for REAL
+    (functions/png.py); other formats need an imaging library this
+    container lacks — the deterministic fake derives pseudo-dimensions and
+    a mean 'pixel' value from the payload hash so downstream plumbing stays
+    testable (decoded=False, real fields NULL)."""
     h = hashlib.md5(payload).hexdigest()
     n = len(payload)
-    return {
+    feats = {
         "n_bytes": n,
         "payload_hash": h,
         "fake_width": (n % 64) + 1,
         "fake_height": (int(h[:2], 16) % 64) + 1,
         "fake_mean": int(h[2:6], 16) / 65535.0,
+        "decoded": False, "width": None, "height": None, "mean_pixel": None,
     }
+    try:
+        png = decode_png(payload)
+    except Exception:  # PNG outside the stdlib subset → fake fallback
+        png = None
+    if png is not None:
+        feats.update(decoded=True, width=png["width"], height=png["height"],
+                     mean_pixel=png["mean"])
+        return feats
+    if fake != "deterministic":
+        raise NotImplementedError(
+            "non-PNG image decode requires an imaging library not available "
+            "here; pass fake='deterministic' for the plumbing-test path")
+    return feats
+
+
+_FEATURE_KEYS = ("n_bytes", "payload_hash", "fake_width", "fake_height",
+                 "fake_mean", "decoded", "width", "height", "mean_pixel")
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, payload) → FEATURE_SCHEMA rows."""
     for pdf in batches:
-        out = {"doc_id": [], "n_bytes": [], "payload_hash": [],
-               "fake_width": [], "fake_height": [], "fake_mean": []}
+        out = {k: [] for k in ("doc_id",) + _FEATURE_KEYS}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             feats = decode_image(bytes(payload), fake="deterministic")
             out["doc_id"].append(doc_id)
-            for k in ("n_bytes", "payload_hash", "fake_width", "fake_height",
-                      "fake_mean"):
+            for k in _FEATURE_KEYS:
                 out[k].append(feats[k])
         yield pd.DataFrame(out)
 
