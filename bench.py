@@ -476,7 +476,9 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
     def run_leg(cpus: int) -> dict:
         tmp = tempfile.mkdtemp(prefix=f"scale{cpus}_")
         cmd = [spark_submit, "--master", f"local[{cpus}]",
-               "--conf", f"spark.sql.shuffle.partitions={max(cpus, 8)}",
+               # 2x cores: power-law hosts skew the politeness / dedupe
+               # shuffles; finer partitions smooth stragglers at both sizes
+               "--conf", f"spark.sql.shuffle.partitions={max(cpus * 2, 16)}",
                "--conf", f"spark.default.parallelism={cpus}",
                "--conf", "spark.driver.memory=12g",
                "--conf", "spark.ui.enabled=false",

@@ -62,11 +62,14 @@ _COMPRESSED_RLIKE = "(gzip|deflate)"
 _DEBUG_TIMING = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
 
 # working-frontier compaction triggers: compact when the un-compacted delta
-# mass exceeds this fraction of the frontier (amortized per-wave compaction
-# cost = O(wave_rows / ratio), independent of frontier size) — but never
-# below the absolute floor (tiny crawls shouldn't churn), and always when
-# the part lists grow wide enough to bloat the logical plan.
-COMPACT_RATIO = 0.3
+# mass exceeds this fraction of the frontier. Ratio 1.0 = classic LSM
+# doubling: each appended row is rewritten at most ~2x amortized, and the
+# MoR read union scans at most ~2x frontier rows. (0.3 was tried first —
+# its ~4x-per-delta rewrite reintroduced a good share of the O(frontier)
+# per-wave cost this design removes.) Floors: never below the absolute
+# row floor (tiny crawls shouldn't churn), always when the part lists
+# grow wide enough to bloat the logical plan.
+COMPACT_RATIO = 1.0
 COMPACT_MIN_ROWS = 200_000
 COMPACT_MAX_PARTS = 48
 
