@@ -111,7 +111,11 @@ def main(argv=None) -> int:
                         .cast("long"))
                      .filter((F.col("id") % step == 0) &
                              (F.col("url") != seed_url))
-                     .select("id", "url"))
+                     # ids are FRONTIER ids: offset past the seed() row so
+                     # the id space stays collision-free (duplicate ids
+                     # break the MoR newest-version-per-id resume read)
+                     .select((F.col("id") + crawler.next_id).alias("id"),
+                             "url"))
             crawler.seed_frontier(extra)
 
     waves_run = 0

@@ -141,6 +141,11 @@ class WaveCrawler:
         self._pending_added: List[DataFrame] = []        # per-wave enqueues
         self._pending_removed: List[DataFrame] = []      # id-only, per wave
         self._uncompacted_rows = 0
+        # true frontier row count (#distinct ids) for the compaction ratio:
+        # next_id is NOT a usable proxy — bulk seeds keep caller ids, which
+        # may be sparse (None after a wholesale frontier assignment, where
+        # the dense next_id fallback is exact)
+        self._frontier_ids: Optional[int] = 0
         self._content_parts: List[DataFrame] = []  # fetched_pages fragments
         self.wave = 0
         self.next_id = 0
@@ -229,6 +234,9 @@ class WaveCrawler:
         self._settled_parts, self._pending_added, self._pending_removed = \
             [], [], []
         self._uncompacted_rows = 0
+        # row count unknown after a wholesale assignment; the compaction
+        # ratio falls back to next_id (exact for dense-id frontiers)
+        self._frontier_ids = None
         if df is None:
             self._settled_base = self._pending_base = None
         else:
@@ -253,8 +261,13 @@ class WaveCrawler:
         self._uncompacted_rows += n_rows
         self._maybe_compact()
 
+    def _count_frontier_ids(self, n: int) -> None:
+        if self._frontier_ids is not None:
+            self._frontier_ids += n
+
     def _maybe_compact(self) -> None:
-        total = max(self.next_id, 1)
+        total = max(self._frontier_ids
+                    if self._frontier_ids is not None else self.next_id, 1)
         n_parts = max(len(self._settled_parts), len(self._pending_added))
         if not (self._uncompacted_rows > max(COMPACT_RATIO * total,
                                              COMPACT_MIN_ROWS)
@@ -479,6 +492,7 @@ class WaveCrawler:
             n = df.count()
         self.next_id += n
         self.queued_count = (self.queued_count or 0) + n
+        self._count_frontier_ids(n)
         if self.store is not None:
             part = self.store.commit_wave(
                 self.wave, df, self._driver_state(), bloom=self.bloom,
@@ -492,9 +506,12 @@ class WaveCrawler:
         """Distributed bulk seed — the 10^8-seed path (no driver loop).
 
         ``urls`` carries a canonical ``url`` column (+ optional ``id``;
-        ids are assigned by url order otherwise). URL parts are derived
-        JVM-side with regexps — callers seeding a raw list should
-        canonicalize first (functions.urlkit.process_url semantics).
+        ids are assigned by url order otherwise). Caller-provided ids MUST
+        NOT collide with existing frontier ids (all maintenance — pending
+        removal, MoR resume — is id-keyed); offset by ``next_id`` when in
+        doubt. URL parts are derived JVM-side with regexps — callers
+        seeding a raw list should canonicalize first
+        (functions.urlkit.process_url semantics).
         Returns the number of rows enqueued."""
         cols = urls.columns
         frontier_empty = self.frontier is None
@@ -555,6 +572,7 @@ class WaveCrawler:
             account(part)
             if added["n"]:
                 self._bloom_add(part)
+        self._count_frontier_ids(added["n"])
         self._append_enqueue(part, added["n"])
         return added["n"]
 
@@ -586,6 +604,7 @@ class WaveCrawler:
         if added:
             self.next_id += added
             self.queued_count = (self.queued_count or 0) + added
+            self._count_frontier_ids(added)
             self._count("queueadd", added)
             if self.store is not None:
                 part = self.store.commit_wave(
@@ -1455,6 +1474,7 @@ class WaveCrawler:
             # reads checkpointed data — no recompute of the enqueue plan.
             # (Store-backed runs add inside commit_wave for crash safety.)
             self._bloom_add(committed.filter(F.col("status") == "queued"))
+        self._count_frontier_ids(n_new)
         self._append_wave_outcome(committed, n_due_total + n_new)
         for df in (resp, *([processed] if processed is not None else []),
                    *self._wave_caches):
