@@ -80,6 +80,25 @@ def q_fifo_politeness(spark, sf_dir):
             .select("id", "host", "rk"))
 
 
+def q_fifo_crawl_delay(spark, sf_dir):
+    """C1 nuance: per-host Crawl-delay budgets — hosts whose robots.txt
+    asks for a larger delay get a SHRUNK token budget (broadcast side-table
+    override in select_due; plans/crawl.py::_crawl_delay_budgets derives
+    the map from parsed robots). h0 is budgeted to 1 and h7 to 2 against a
+    default of 3; the oracle is the same rank with a CASE'd cap."""
+    from simplecrawler_spark.operators.politeness import select_due
+    frontier = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias("host"),
+        F.lit("queued").alias("status"))
+    due = select_due(frontier, tokens_per_host=3,
+                     approx_rows=frontier.count(),
+                     host_budgets={"h0": 1, "h7": 2})
+    w = Window.partitionBy("host").orderBy("id")
+    return (due.withColumn("rk", F.row_number().over(w).cast("long"))
+            .select("id", "host", "rk"))
+
+
 def q_seen_antijoin(spark, sf_dir):
     """Q1/Q2: URL-seen dedupe — candidate URLs anti-joined against the seen
     set (exact path of the Bloom-prefiltered check)."""
@@ -498,6 +517,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_politeness": q_fifo_politeness,
+        "fifo_crawl_delay": q_fifo_crawl_delay,
         "seen_antijoin": q_seen_antijoin,
         "canonicalize": q_canonicalize,
         "discovery": q_discovery,
@@ -542,6 +562,16 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY event_id) AS rk
               FROM events)
             WHERE rk <= 3
+        """,
+        "fifo_crawl_delay": """
+            SELECT id, host, rk FROM (
+              SELECT event_id AS id,
+                     'h' || (user_id % 23) AS host,
+                     row_number() OVER (PARTITION BY 'h' || (user_id % 23)
+                                        ORDER BY event_id) AS rk
+              FROM events)
+            WHERE rk <= CASE host WHEN 'h0' THEN 1 WHEN 'h7' THEN 2
+                        ELSE 3 END
         """,
         "seen_antijoin": """
             WITH u AS (SELECT event_type,
