@@ -872,8 +872,18 @@ class WaveCrawler:
     def _due_distributed_path(self, due_all: DataFrame):
         """Scale path: robots verdicts in an Arrow pass; due set never hits
         the driver. The trigger aggregation is one small job per wave."""
+        # grain = shuffle partitions (not core count): the due set feeds the
+        # wave's dominant stage (fetch join -> discovery -> candidate Arrow
+        # pass) and power-law hosts skew rows per host_bucket — quantized at
+        # exactly #cores, every core idles behind the slowest bucket; finer
+        # partitions shrink that straggler tail
+        try:
+            grain = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            grain = 0
         due_all = due_all.repartition(
-            self.spark.sparkContext.defaultParallelism, "host_bucket", "id")
+            max(grain, self.spark.sparkContext.defaultParallelism),
+            "host_bucket", "id")
         sitemap_candidates: List[dict] = []
         if self.config.respect_robots_txt:
             trig_df = (due_all.groupBy("protocol", "host", "port")
@@ -1395,6 +1405,13 @@ class WaveCrawler:
                 # budget per wave), whose count phase doubles as the
                 # queueadd counter; the id-assignment pass itself stays LAZY
                 # (materialized once by the wave commit, no extra barrier).
+                if cfg.id_mode == "composite":
+                    # the two-phase ranking's range shuffle SAMPLES its
+                    # input before shuffling — unpersisted, the dedupe
+                    # window + seen anti-join above would run twice per
+                    # wave (sampling pass + shuffle write)
+                    fresh = fresh.persist()
+                    self._wave_caches.append(fresh)
                 with _timed("assign-ids"):
                     with_ids, n_known = assign_dense_ids(
                         fresh, ["referrer_id", "pos"], self.next_id,
