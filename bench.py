@@ -611,6 +611,9 @@ same mask as its leg.
 
 Job detail @32 cores: {json.dumps(detail32)}
 
+Per-phase breakdown naming the serial stage: see BENCH/PROFILE.md
+(CRAWL_DEBUG_TIMING=1 run of the same legs).
+
 ## Candidate canonicalization fast path (vectorized)
 
 The wave hot path's dominant python cost is URL canonicalization. A
