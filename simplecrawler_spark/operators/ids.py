@@ -11,11 +11,22 @@ the classic two-phase ranking: range-partition + sort on the key, count rows
 per partition (one light job), then add cumulative offsets per partition in
 a mapInPandas pass. Both phases are fully parallel; the only driver state is
 one integer per partition.
+
+``range_bounds`` removes the ranking's LAST fixed job. ``repartitionByRange``
+launches a reservoir-sampling pass over the whole input just to pick
+partition bounds; when the caller already knows approximate quantiles of the
+leading sort key (the wave loop aggregates ``approx_percentile(referrer_id)``
+on the SAME fused action that computes every wave counter — zero extra jobs),
+we bucket deterministically on those bounds instead: bucket index is monotone
+in the sort key, rows are hash-shuffled on the bucket id and sorted by
+(bucket, key...) within partitions, so cumulative offsets in bucket order
+still yield dense, order-isomorphic ids. Bound skew only affects balance —
+never correctness — because offsets come from the exact count phase.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -23,7 +34,8 @@ from pyspark.sql import DataFrame, functions as F
 
 def assign_dense_ids(df: DataFrame, order_cols: List[str], start: int,
                      out_col: str = "id", num_partitions: int = None,
-                     count_hint: int = None, cache_registry: list = None):
+                     count_hint: int = None, cache_registry: list = None,
+                     range_bounds: Optional[List[int]] = None):
     """Add ``out_col`` = start, start+1, ... following sort order of
     ``order_cols``. Returns ``(DataFrame, total_or_None)`` — the two-phase
     path knows the exact row count from its partition-count phase (one job
@@ -38,6 +50,14 @@ def assign_dense_ids(df: DataFrame, order_cols: List[str], start: int,
     e.g. the wave commit, evaluates it once) and the persisted sort-phase
     DataFrame is appended to the registry for the caller to unpersist
     after that boundary. Saves one driver barrier per wave.
+
+    ``range_bounds``: ascending split points for ``order_cols[0]`` (e.g.
+    approx percentiles the caller piggybacked on an earlier action). When
+    given, the reservoir-sampling job of ``repartitionByRange`` is skipped:
+    rows bucket to ``#bounds < key`` deterministically. len(bounds)+1
+    buckets are hash-distributed over ``num_partitions`` partitions, so a
+    physical partition may carry several buckets — the offset pass walks
+    them grouped (rows are sorted by bucket within each partition).
     """
     if count_hint is not None and count_hint <= 100_000:
         from pyspark.sql import Window
@@ -54,9 +74,19 @@ def assign_dense_ids(df: DataFrame, order_cols: List[str], start: int,
     # shifted every offset lookup — data-embedded ids are immune. Range
     # partitioning assigns ascending key ranges to ascending partition ids,
     # so cumulative offsets in __pid order follow the sort order.
-    parted = (df.repartitionByRange(n, *sort_cols)
-                .sortWithinPartitions(*sort_cols)
-                .withColumn("__pid", F.spark_partition_id()))
+    if range_bounds:
+        arr = F.array(*[F.lit(int(b)).cast("long") for b in range_bounds])
+        lead = F.col(order_cols[0]).cast("long")
+        bucket = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, b: acc + F.when(lead >= b, 1).otherwise(0))
+        parted = (df.withColumn("__pid", bucket)
+                    .repartition(n, "__pid")
+                    .sortWithinPartitions(F.col("__pid"), *sort_cols))
+    else:
+        parted = (df.repartitionByRange(n, *sort_cols)
+                    .sortWithinPartitions(*sort_cols)
+                    .withColumn("__pid", F.spark_partition_id()))
     parted = parted.persist()
     try:
         # phase 1: per-partition counts — pure JVM agg, no python pass
@@ -74,16 +104,25 @@ def assign_dense_ids(df: DataFrame, order_cols: List[str], start: int,
             + [f"{out_col} long"])
 
         def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # rows arrive sorted by __pid within the partition; several
+            # buckets may share a partition on the range_bounds path, so
+            # walk contiguous __pid groups and switch offsets at each
+            # group boundary (a group can also span multiple Arrow batches)
+            cur_pid = None
             off = None
             for pdf in it:
                 if not len(pdf):
                     continue
-                if off is None:
-                    off = offsets[int(pdf["__pid"].iloc[0])]
-                pdf = pdf.drop(columns="__pid")
-                pdf[out_col] = range(off, off + len(pdf))
-                off += len(pdf)
-                yield pdf
+                parts = []
+                for pid_val, grp in pdf.groupby("__pid", sort=True):
+                    if pid_val != cur_pid:
+                        cur_pid = pid_val
+                        off = offsets[int(pid_val)]
+                    grp = grp.drop(columns="__pid")
+                    grp[out_col] = range(off, off + len(grp))
+                    off += len(grp)
+                    parts.append(grp)
+                yield parts[0] if len(parts) == 1 else pd.concat(parts)
 
         result = parted.mapInPandas(add_ids, out_schema)
         if cache_registry is not None:

@@ -1163,6 +1163,23 @@ class WaveCrawler:
                                    F.col("rows").cast("long").alias("v"),
                                    null_s)))
 
+        def bounds_plan(processed_df, n_buckets):
+            """Quantile split points of candidate referrer_id, riding the
+            fused action as ``pb:{i}`` counter rows — they feed
+            assign_dense_ids(range_bounds=...) so the dense-id ranking
+            skips repartitionByRange's reservoir-sampling job (one fixed
+            per-wave job fewer; see BENCH/PROFILE.md)."""
+            fracs = [i / n_buckets for i in range(1, n_buckets)]
+            return (processed_df.agg(
+                F.percentile_approx(
+                    F.col("referrer_id").cast("long"),
+                    F.array(*[F.lit(fr) for fr in fracs]),
+                    F.lit(2000)).alias("bs"))
+                .select(F.posexplode("bs").alias("p", "b"))
+                .select(F.concat(F.lit("pb:"), F.col("p")).alias("k"),
+                        F.col("b").cast("long").alias("v"),
+                        F.lit(None).cast("string").alias("s")))
+
         def build_bodies(dl):
             body_in = dl.select("id", "url", "protocol", "html",
                                 F.col("_ctype").alias("content_type"),
@@ -1238,6 +1255,8 @@ class WaveCrawler:
 
         bodies = None
         processed = None
+        id_bounds = None  # quantile split points for dense-id bucketing,
+        # harvested from the fused action (fused path only)
         n_disc_total = None  # set on the prefilter path; read by the
         # accounting block below — single initialization (a later re-init
         # once made the whole prefilter dead code)
@@ -1256,10 +1275,18 @@ class WaveCrawler:
                 cand_parts.append(
                     spark.createDataFrame(sitemap_candidates, CANDIDATE_SCHEMA))
             processed = build_processed(cand_parts)
+            agg_plans = [stats_plan, cookie_plan, bodies_counters(bodies),
+                         rejects_counters(processed)]
+            if cfg.id_mode == "composite":
+                agg_plans.append(bounds_plan(
+                    processed,
+                    4 * max(spark.sparkContext.defaultParallelism, 1)))
             with _timed("mega-agg"):
-                set_cookies = collect_kv(
-                    [stats_plan, cookie_plan, bodies_counters(bodies),
-                     rejects_counters(processed)])
+                set_cookies = collect_kv(agg_plans)
+            id_bounds = [
+                kv[k] for k in sorted(
+                    (k for k in kv if k and k.startswith("pb:")),
+                    key=lambda s: int(s[3:]))] or None
             stats = {n: kv.get(n, 0) for n in STATS}
             n_compressed = stats.pop("ncomp")
             for k2, v2 in stats.items():
@@ -1405,11 +1432,14 @@ class WaveCrawler:
                 # budget per wave), whose count phase doubles as the
                 # queueadd counter; the id-assignment pass itself stays LAZY
                 # (materialized once by the wave commit, no extra barrier).
-                if cfg.id_mode == "composite":
-                    # the two-phase ranking's range shuffle SAMPLES its
-                    # input before shuffling — unpersisted, the dedupe
-                    # window + seen anti-join above would run twice per
-                    # wave (sampling pass + shuffle write)
+                if cfg.id_mode == "composite" and id_bounds is None:
+                    # without precomputed bounds the two-phase ranking's
+                    # range shuffle SAMPLES its input before shuffling —
+                    # unpersisted, the dedupe window + seen anti-join above
+                    # would run twice per wave (sampling pass + shuffle
+                    # write). With id_bounds the bucketing is a pure
+                    # projection and fresh is evaluated exactly once by the
+                    # shuffle write — no persist needed.
                     fresh = fresh.persist()
                     self._wave_caches.append(fresh)
                 with _timed("assign-ids"):
@@ -1418,6 +1448,8 @@ class WaveCrawler:
                         count_hint=n_cand if cfg.id_mode != "composite"
                         else None,
                         cache_registry=self._wave_caches
+                        if cfg.id_mode == "composite" else None,
+                        range_bounds=id_bounds
                         if cfg.id_mode == "composite" else None)
                 if n_known is not None:
                     n_new = n_known
