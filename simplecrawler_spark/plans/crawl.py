@@ -1427,11 +1427,14 @@ class WaveCrawler:
                 else:
                     fresh = first_seen.join(seen_urls, "url", "left_anti")
                 # dense reference-identical ids in ALL modes. 'composite'
-                # (scale) always takes the distributed two-phase ranking —
-                # one range-shuffle of the FRESH rows only (≤ politeness
-                # budget per wave), whose count phase doubles as the
-                # queueadd counter; the id-assignment pass itself stays LAZY
-                # (materialized once by the wave commit, no extra barrier).
+                # (scale) with precomputed bounds takes the FULLY-LAZY
+                # ranking (offset + row_number per bucket, zero driver
+                # actions — operators/ids.py); the enqueue count is then
+                # recovered from the wave commit itself: the delta's
+                # parquet-footer row count minus the (driver-known) due-row
+                # count. Store-backed waves therefore launch NO id/count
+                # job at all — the dedupe window + seen anti-join evaluate
+                # exactly once, inside the commit's delta write.
                 if cfg.id_mode == "composite" and id_bounds is None:
                     # without precomputed bounds the two-phase ranking's
                     # range shuffle SAMPLES its input before shuffling —
@@ -1439,7 +1442,7 @@ class WaveCrawler:
                     # would run twice per wave (sampling pass + shuffle
                     # write). With id_bounds the bucketing is a pure
                     # projection and fresh is evaluated exactly once by the
-                    # shuffle write — no persist needed.
+                    # commit's delta write — no persist needed.
                     fresh = fresh.persist()
                     self._wave_caches.append(fresh)
                 with _timed("assign-ids"):
@@ -1453,14 +1456,19 @@ class WaveCrawler:
                         if cfg.id_mode == "composite" else None)
                 if n_known is not None:
                     n_new = n_known
+                elif self.store is not None:
+                    # deferred: commit_wave's finalizer sets n_new from the
+                    # materialized delta's footers (no Spark job)
+                    n_new = None
                 else:
                     with_ids = with_ids.persist()
                     self._wave_caches.append(with_ids)
                     with _timed("dense-id-count"):
                         n_new = with_ids.count()
-                count("queueadd", n_new)
-                count("queueduplicate", n_cand - n_new)
-                self.next_id += n_new
+                if n_new is not None:
+                    count("queueadd", n_new)
+                    count("queueduplicate", n_cand - n_new)
+                    self.next_id += n_new
                 new_rows = with_ids.select(
                     "id", "url", "protocol", "host",
                     F.col("port").cast("int").alias("port"), "path", "uri_path",
@@ -1499,9 +1507,19 @@ class WaveCrawler:
             # the manifest's counters are finalized AFTER the delta parquet
             # is written, counting new rows from the materialized files
             # rather than re-evaluating the enqueue plan.
-            def finalize(_committed: DataFrame) -> dict:
-                # n_new is known pre-commit (dense-id count phase); only
-                # the queued-count bookkeeping happens at manifest time
+            def finalize(_committed: DataFrame, delta_rows: int) -> dict:
+                # ``delta_rows`` comes from the delta's parquet FOOTERS
+                # (store._bucket_counts — a metadata read, no Spark job).
+                # outcome rows == fetchstart + disallowed == n_due_total
+                # exactly (stats_plan counts every resp row), so the
+                # enqueue count is delta_rows - n_due_total: the lazy
+                # dense-id path needs no count action anywhere.
+                nonlocal n_new
+                if n_new is None:
+                    n_new = delta_rows - n_due_total
+                    count("queueadd", n_new)
+                    count("queueduplicate", n_cand - n_new)
+                    self.next_id += n_new
                 if self.queued_count is not None:
                     self.queued_count = \
                         self.queued_count - n_due_total + n_new

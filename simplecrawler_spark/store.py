@@ -23,6 +23,7 @@ same crawl ordering (reliability.integration.spec.ts:132-203 semantics).
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
 import shutil
@@ -174,11 +175,18 @@ class SnapshotStore:
         delta.repartition(F.col("host_bucket")) \
              .write.partitionBy("host_bucket").parquet(out)
         committed = self._canonical(self.spark.read.parquet(out))
+        bucket_counts = self._bucket_counts(out)
         if callable(state):
             # driver-state finalizer: lets the caller derive counters from
             # the MATERIALIZED delta (cheap parquet read) instead of
-            # re-evaluating the delta's lineage a second time
-            state = state(committed)
+            # re-evaluating the delta's lineage a second time. 2-arg
+            # finalizers additionally receive the delta's exact row count
+            # straight from the parquet FOOTERS — zero Spark jobs — so the
+            # wave loop's enqueue accounting needs no count action at all.
+            if len(inspect.signature(state).parameters) >= 2:
+                state = state(committed, sum(bucket_counts.values()))
+            else:
+                state = state(committed)
         fpr = {}
         if bloom is not None:
             # fresh rows in this delta carry the committed wave id; outcome
@@ -190,7 +198,7 @@ class SnapshotStore:
         lineage = [
             {"wave": wave, "host_bucket": hb, "url_count": n,
              "bloom_fpr": fpr.get(hb)}
-            for hb, n in sorted(self._bucket_counts(out).items())]
+            for hb, n in sorted(bucket_counts.items())]
         self._manifest["waves"].append(
             {"seq": seq, "wave": wave, "delta": rel, "state": state,
              "lineage": lineage})
