@@ -215,6 +215,22 @@ def q_depth_gate(spark, sf_dir):
             .filter(F.col("depth") + 1 <= 3))
 
 
+def q_dense_ids(spark, sf_dir):
+    """Q1 id assignment: the wave loop's dense queue-id ranking
+    (crawler.ts:1109 — monotonically increasing enqueue ids) via the
+    FULLY-LAZY bounds path of operators/ids.py (bucket offset +
+    row_number per bucket over one shared Exchange, zero driver actions
+    — the store-backed wave hot path). Bounds are fixed split points;
+    placement only affects balance, never the mapping, so the oracle is
+    a plain global ROW_NUMBER."""
+    from simplecrawler_spark.operators.ids import assign_dense_ids
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    with_ids, _ = assign_dense_ids(orders, ["o_custkey", "o_orderkey"],
+                                   start=0,
+                                   range_bounds=[100, 400, 900, 1200])
+    return with_ids.select("o_custkey", "o_orderkey", "id")
+
+
 def q_queue_stats(spark, sf_dir):
     """Q6-Q8/Q9: queue statistics (min/max/avg/count) grouped by type."""
     ev = _t(spark, sf_dir, "events")
@@ -524,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "status_branch": q_status_branch,
         "depth_gate": q_depth_gate,
+        "dense_ids": q_dense_ids,
         "queue_stats": q_queue_stats,
         "exact_dup_groups": q_exact_dup_groups,
         "dedupe_keep_first": q_dedupe_keep_first,
@@ -616,6 +633,12 @@ def oracle_sql() -> dict[str, str]:
         "depth_gate": """
             SELECT event_id, (event_id % 6 + 1)::BIGINT AS depth FROM events
             WHERE (event_id % 6 + 1) + 1 <= 3
+        """,
+        "dense_ids": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (ORDER BY o_custkey, o_orderkey) - 1
+                   AS id
+            FROM orders
         """,
         "queue_stats": """
             SELECT event_type, count(*) AS n,
