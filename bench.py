@@ -504,6 +504,13 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
                # heap for the 32-thread leg so GC pressure (not cores) is
                # never what the 8-vs-32 ratio measures
                "--conf", "spark.driver.memory=48g",
+               # shuffle/spill files on tmpfs alongside the store: local
+               # shuffle I/O on a real cluster rides each executor's own
+               # disks (aggregate bandwidth scales with executor count),
+               # while this sandbox has ONE virtual disk — leaving shuffle
+               # on it would add a serial artifact the core ratio isn't
+               # meant to measure
+               "--conf", f"spark.local.dir={os.path.join(tmp, 'local')}",
                "--conf", "spark.ui.enabled=false",
                "--py-files", zip_path,
                os.path.join(REPO, "jobs", "crawl_job.py"),
@@ -683,7 +690,7 @@ each pair's calibration uses its own legs' inline ceilings.
 number divides the job's speedup by what THIS box gives perfectly-parallel
 code under the same machine state, because the credit-throttled hypervisor
 — not the dataflow — caps the upper pair.)
-
+{bw_section}
 Reference single-node ceiling: 4 req/s (1 fetch per 250 ms tick,
 /root/reference/src/crawler.ts:297,666) — the wave engine beats it by
 ~{min(steady(results[c]) for c in sizes) / 4:.0f}x at {min(sizes)} cores
