@@ -75,6 +75,13 @@ class CrawlerConfig:
     # the distributed two-phase ranking (scale path, shuffles fresh rows
     # only), 'dense' picks a single-partition window for small inputs
     id_mode: str = "dense"
+    # cache the pages table hash-partitioned + sorted on ``url`` at crawler
+    # construction, so every wave's sort-merge fetch join reuses the cached
+    # layout instead of re-shuffling and re-sorting the whole corpus per
+    # wave. The real-cluster analog is a url-bucketed pages table (Iceberg
+    # ``bucket(url)`` partition transform): the 100-TB side of the join is
+    # laid out once, and each wave shuffles only the due rows.
+    copartition_pages: bool = True
     record_fetch_log: bool = True     # collect per-wave fetch-start order (tests)
     # driver-OOM guard for the fetch-log path: a wave whose due set exceeds
     # this bound auto-switches the crawl to the distributed due path

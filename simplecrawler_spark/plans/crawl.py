@@ -105,7 +105,23 @@ class WaveCrawler:
                 target_fpr=config.bloom_target_fpr)
         self.bloom = bloom
         self.keep_content = keep_content
-        # pages table: fetch = frontier ⨝ pages on url (input_hint corpus)
+        # pages table: fetch = frontier ⨝ pages on url (input_hint corpus).
+        # copartition_pages lays the corpus out ONCE — hash-partitioned and
+        # sorted on url, cached — so the per-wave sort-merge fetch join
+        # exchanges and sorts only the due side; the pages side is a cache
+        # scan with matching partitioning + ordering. One corpus-sized
+        # shuffle at construction replaces one per wave (the Iceberg analog
+        # is a bucket(url)-partitioned table, laid out at write time).
+        if (config.copartition_pages and not config.live_fetch
+                and pages is not None):
+            try:
+                grain = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except (TypeError, ValueError):
+                grain = 0
+            pages = (pages.repartition(
+                        max(grain, spark.sparkContext.defaultParallelism),
+                        "url")
+                     .sortWithinPartitions("url").persist())
         self.pages = pages
         self.cache = cache  # (url, etag, last_modified) from a previous crawl
         self.robots = RobotsStore(config.user_agent)
