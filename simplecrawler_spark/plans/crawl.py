@@ -292,22 +292,27 @@ class WaveCrawler:
         with _timed("frontier-compact"):
             pending = self._pending_view()
             settled = self._settled_view()
-            self._pending_base = None if pending is None \
-                else self._commit(pending)
-            self._settled_base = None if settled is None \
-                else self._commit(settled)
+            if self.store is not None:
+                # ONE frontier materialization: the store's base rewrite
+                # evaluates the lazy working views directly and the new
+                # base parquet becomes the working bases (split by row
+                # lifecycle — two lazy filters). The old scheme paid the
+                # frontier twice per compaction: localCheckpoint for the
+                # working copy AND the store's base parquet write.
+                cur = settled.unionByName(pending) \
+                    if settled is not None and pending is not None \
+                    else (settled if settled is not None else pending)
+                base = self.store.compact(current=cur)
+                self._settled_base = base.filter(F.col("status") != "queued")
+                self._pending_base = base.filter(F.col("status") == "queued")
+            else:
+                self._pending_base = None if pending is None \
+                    else self._commit(pending)
+                self._settled_base = None if settled is None \
+                    else self._commit(settled)
             self._settled_parts, self._pending_added, self._pending_removed = \
                 [], [], []
             self._uncompacted_rows = 0
-            if self.store is not None:
-                # the working copy no longer references committed delta
-                # parquet — safe to let the store rewrite/drop delta dirs.
-                # Passing the freshly checkpointed frontier skips the
-                # store's own MoR re-merge.
-                s, p = self._settled_base, self._pending_base
-                cur = s.unionByName(p) if s is not None and p is not None \
-                    else (s if s is not None else p)
-                self.store.compact(current=cur)
 
     # ------------------------------------------------------------------ utils
     @property

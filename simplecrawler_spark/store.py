@@ -35,16 +35,40 @@ from .schema import FRONTIER_SCHEMA
 
 
 class SnapshotStore:
-    def __init__(self, path: str, spark: SparkSession, compact_every: int = 8):
+    def __init__(self, path: str, spark: SparkSession, compact_every: int = 8,
+                 write_slots: int = 512):
         self.path = path
         self.spark = spark
         self.compact_every = compact_every
+        # shuffle slots for the pre-write clustering: hashing B buckets
+        # into ~B slots leaves collision tasks holding 2-3 buckets as the
+        # write barrier's tail; at several-x slots nearly every task holds
+        # at most one bucket, so the tail is one bucket's rows and the
+        # scheduler evens out the many tiny tasks. Still ONE file per
+        # host_bucket dir (a bucket hashes to exactly one slot).
+        self.write_slots = write_slots
         os.makedirs(os.path.join(path, "deltas"), exist_ok=True)
         self._manifest = {"waves": []}
         mf = self._manifest_path()
         if os.path.exists(mf):
             with open(mf) as f:
                 self._manifest = json.load(f)
+
+    def _write_clustered(self, df: DataFrame, out: str) -> None:
+        """Cluster rows by host_bucket over ``write_slots`` tasks and write
+        one parquet file per host_bucket dir."""
+        df.repartition(self.write_slots, F.col("host_bucket")) \
+          .write.partitionBy("host_bucket").parquet(out)
+
+    def _read_delta(self, out: str) -> DataFrame:
+        """Read a committed delta back with the schema given EXPLICITLY —
+        the driver already lists these footers for lineage counts; schema
+        inference would list + merge them a second time."""
+        from pyspark.sql.types import StructType
+        file_schema = StructType(
+            [f for f in FRONTIER_SCHEMA.fields if f.name != "host_bucket"])
+        file_schema = file_schema.add("host_bucket", "integer")
+        return self.spark.read.schema(file_schema).parquet(out)
 
     # ------------------------------------------------------------- manifest
     def _manifest_path(self) -> str:
@@ -172,9 +196,8 @@ class SnapshotStore:
             shutil.rmtree(out)  # re-commit after crash-before-manifest
         # one file per host_bucket dir (not one per task x bucket): cluster
         # rows by bucket before the partitioned write
-        delta.repartition(F.col("host_bucket")) \
-             .write.partitionBy("host_bucket").parquet(out)
-        committed = self._canonical(self.spark.read.parquet(out))
+        self._write_clustered(delta, out)
+        committed = self._canonical(self._read_delta(out))
         bucket_counts = self._bucket_counts(out)
         if callable(state):
             # driver-state finalizer: lets the caller derive counters from
@@ -208,15 +231,20 @@ class SnapshotStore:
         self._write_manifest()
         return committed
 
-    def compact(self, current: Optional[DataFrame] = None) -> None:
+    def compact(self, current: Optional[DataFrame] = None) -> DataFrame:
         """Rewrite the MoR union into a single base delta (bounded read
-        amplification — the Iceberg rewrite_data_files analog).
+        amplification — the Iceberg rewrite_data_files analog). Returns the
+        new base read back from parquet (canonical column order) so callers
+        can adopt the materialized bytes as their working frontier — ONE
+        frontier materialization per compaction, not a checkpoint AND a
+        parquet write.
 
-        ``current``: optionally the already-merged frontier (the crawler's
-        freshly checkpointed working copy is row-identical to the MoR merge
-        by construction) — skips re-merging every committed delta."""
+        ``current``: optionally the already-merged frontier (a lazy plan is
+        fine — it is evaluated exactly once, by this write; the crawler's
+        working view is row-identical to the MoR merge by construction) —
+        skips re-merging every committed delta."""
         if not self.waves:
-            return
+            raise ValueError("empty store")
         if current is None:
             current = self.current_frontier()
         wave = self.waves[-1]["wave"]
@@ -225,17 +253,23 @@ class SnapshotStore:
         out = os.path.join(self.path, rel)
         if os.path.exists(out):
             shutil.rmtree(out)
-        current.write.partitionBy("host_bucket").parquet(out)
+        self._write_clustered(current, out)
         state = self.waves[-1]["state"]
         lineage = self.waves[-1]["lineage"]
-        for w in self.waves:
-            p = os.path.join(self.path, w["delta"])
-            if os.path.exists(p) and w["delta"].startswith("deltas/seq="):
-                shutil.rmtree(p)
+        superseded = [w["delta"] for w in self.waves if w["delta"] != rel]
         self._manifest["waves"] = [
             {"seq": seq, "wave": wave, "delta": rel, "state": state,
              "lineage": lineage, "compacted": True}]
         self._write_manifest()
+        # superseded dirs (seq deltas AND older bases) go only AFTER the
+        # manifest points at the new base; ``current`` was fully evaluated
+        # by the write above, so nothing reads them anymore
+        for d in superseded:
+            p = os.path.join(self.path, d)
+            if os.path.exists(p) and d.startswith(("deltas/seq=",
+                                                   "deltas/base=")):
+                shutil.rmtree(p)
+        return self._canonical(self._read_delta(out))
 
     # ---------------------------------------------------------------- reads
     def _canonical(self, df: DataFrame) -> DataFrame:
