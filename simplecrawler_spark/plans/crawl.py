@@ -98,11 +98,17 @@ class WaveCrawler:
         self.config = config
         self.store = store
         if bloom is None and config.bloom_capacity_per_bucket and store is not None:
-            from ..bloom import BloomSideTable
-            bloom = BloomSideTable(
-                os.path.join(store.path, "bloom"), spark,
-                capacity_per_bucket=config.bloom_capacity_per_bucket,
-                target_fpr=config.bloom_target_fpr)
+            if config.seen_filter == "cuckoo":
+                from ..cuckoo import CuckooSideTable
+                bloom = CuckooSideTable(
+                    os.path.join(store.path, "cuckoo"), spark,
+                    capacity_per_bucket=config.bloom_capacity_per_bucket)
+            else:
+                from ..bloom import BloomSideTable
+                bloom = BloomSideTable(
+                    os.path.join(store.path, "bloom"), spark,
+                    capacity_per_bucket=config.bloom_capacity_per_bucket,
+                    target_fpr=config.bloom_target_fpr)
         self.bloom = bloom
         self.keep_content = keep_content
         # pages table: fetch = frontier ⨝ pages on url (input_hint corpus).
@@ -902,9 +908,18 @@ class WaveCrawler:
             grain = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):
             grain = 0
+        # the due set is MATERIALIZED once (lineage truncation), not merely
+        # persisted: the wave plan references it many times (fetch join →
+        # status branch → bodies → discovery → candidates, then again in
+        # the delta), and in-memory-cache SUBSTITUTION of a lazily-persisted
+        # plan proved unreliable under AQE — the event log showed the
+        # politeness windows re-executing ~8x inside the fused counter
+        # action and again in every later action (BENCH/PROFILE.md, "due
+        # checkpoint"). A checkpoint's scan cannot miss. Cost: one job over
+        # ≤ politeness-budget rows — O(wave), the same bound as the commit.
         due_all = due_all.repartition(
             max(grain, self.spark.sparkContext.defaultParallelism),
-            "host_bucket", "id")
+            "host_bucket", "id").localCheckpoint(eager=True)
         sitemap_candidates: List[dict] = []
         if self.config.respect_robots_txt:
             trig_df = (due_all.groupBy("protocol", "host", "port")
