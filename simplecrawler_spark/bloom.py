@@ -30,16 +30,15 @@ Design for scale:
 
 from __future__ import annotations
 
-import json
 import math
-import os
-import shutil
 from typing import Iterable, List, Optional
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .sidetable import VersionedSideTable
 
 FILTER_SCHEMA = T.StructType([
     T.StructField("host_bucket", T.IntegerType()),
@@ -80,86 +79,24 @@ def _analytic_fpr(k: int, n: int, m: int) -> float:
     return float((1.0 - math.exp(-k * n / m)) ** k)
 
 
-class BloomSideTable:
-    """Persisted, partitioned, mergeable Bloom filter keyed by host_bucket."""
+class BloomSideTable(VersionedSideTable):
+    """Persisted, partitioned, mergeable Bloom filter keyed by host_bucket.
+
+    Versioned-dir persistence (delta manifests, CURRENT pointer, pruning,
+    compaction cadence) lives in :class:`VersionedSideTable`, shared with
+    the cuckoo variant."""
+
+    SCHEMA = FILTER_SCHEMA
 
     def __init__(self, path: str, spark: SparkSession,
                  capacity_per_bucket: int = 100_000,
                  target_fpr: float = 0.01, keep_versions: int = 2,
                  compact_after: int = 8):
-        self.path = path
-        self.spark = spark
+        super().__init__(path, spark, keep_versions=keep_versions,
+                         compact_after=compact_after)
         self.capacity = capacity_per_bucket
         self.target_fpr = target_fpr
-        self.keep_versions = keep_versions
-        # delta adds accumulate version dirs; once a generation references
-        # more than this many distinct dirs, the next add compacts the whole
-        # table into one dir (bounds read fan-in; amortizes full rewrites)
-        self.compact_after = compact_after
         self.m, self.k = _sizing(capacity_per_bucket, target_fpr)
-        os.makedirs(path, exist_ok=True)
-
-    # ----------------------------------------------------------- versioning
-    def _current_path(self) -> str:
-        return os.path.join(self.path, "CURRENT")
-
-    def version(self) -> int:
-        cp = self._current_path()
-        if not os.path.exists(cp):
-            return -1
-        with open(cp) as f:
-            return int(f.read().strip())
-
-    def _flip(self, version: int) -> None:
-        tmp = self._current_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._current_path())
-        # prune generations no longer referenced by the current manifest
-        # (delta versions stay live until compaction rewrites their buckets)
-        live = {version} | set(self._manifest(version).values())
-        floor = version - self.keep_versions
-        for d in os.listdir(self.path):
-            if d.startswith("v") and d[1:].isdigit():
-                v = int(d[1:])
-                if v > version or (v not in live and v <= floor):
-                    shutil.rmtree(os.path.join(self.path, d),
-                                  ignore_errors=True)
-
-    def _manifest(self, version: int) -> dict:
-        """bucket (int) -> version (int) whose dir holds its current blob."""
-        mp = os.path.join(self.path, f"v{version}", "_MANIFEST.json")
-        if not os.path.exists(mp):
-            return {}
-        with open(mp) as f:
-            return {int(b): int(v) for b, v in json.load(f).items()}
-
-    def filters(self) -> Optional[DataFrame]:
-        v = self.version()
-        if v < 0:
-            return None
-        manifest = self._manifest(v)
-        if not manifest:
-            # legacy full-table layout (no manifest): the whole generation
-            # lives in the current version dir
-            return self.spark.read.schema(FILTER_SCHEMA).parquet(
-                os.path.join(self.path, f"v{v}"))
-        by_ver: dict = {}
-        for bucket, bv in manifest.items():
-            by_ver.setdefault(bv, []).append(bucket)
-        parts = []
-        for bv, buckets in sorted(by_ver.items()):
-            parts.append(self.spark.read.schema(FILTER_SCHEMA)
-                         .parquet(os.path.join(self.path, f"v{bv}"))
-                         .filter(F.col("host_bucket").isin(buckets)))
-        if not parts:
-            return self.spark.createDataFrame([], FILTER_SCHEMA)
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        return df
 
     # ----------------------------------------------------------------- add
     def add(self, df: DataFrame, url_col: str = "url",
@@ -178,19 +115,11 @@ class BloomSideTable:
         m, k = self.m, self.k
         keys = df.select(F.col(bucket_col).cast("int").alias("host_bucket"),
                          *_hash_cols(url_col))
-        cur = self.filters()
-        if cur is None:
-            cur = self.spark.createDataFrame([], FILTER_SCHEMA)
-        prev_v = self.version()
-        prev_manifest = self._manifest(prev_v) if prev_v >= 0 else {}
         touched = sorted(int(r[0]) for r in
                          keys.select("host_bucket").distinct().collect())
         if not touched:
             return
-        compact = len(set(prev_manifest.values())) >= self.compact_after \
-            or (prev_v >= 0 and not prev_manifest)  # legacy layout: rewrite
-        base = cur if compact else \
-            cur.filter(F.col("host_bucket").isin(touched))
+        base, compact = self._delta_plan(touched)
 
         def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             # left: 0-1 existing filter rows; right: new keys (one bucket)
@@ -216,24 +145,7 @@ class BloomSideTable:
         merged = (base.groupBy("host_bucket")
                   .cogroup(keys.groupBy("host_bucket"))
                   .applyInPandas(merge, FILTER_SCHEMA))
-        v = prev_v + 1
-        out = os.path.join(self.path, f"v{v}")
-        if os.path.exists(out):
-            shutil.rmtree(out)
-        merged.write.parquet(out)
-        if compact:
-            # manifest = exactly the buckets written (covers the legacy
-            # no-manifest layout, where prev_manifest is empty but ``cur``
-            # holds every bucket)
-            written = self.spark.read.schema(FILTER_SCHEMA).parquet(out) \
-                .select("host_bucket").distinct().collect()
-            manifest = {int(r[0]): v for r in written}
-        else:
-            manifest = dict(prev_manifest)
-            manifest.update({b: v for b in touched})
-        with open(os.path.join(out, "_MANIFEST.json"), "w") as f:
-            json.dump({str(b): bv for b, bv in manifest.items()}, f)
-        self._flip(v)
+        self._commit_delta(merged, touched, compact)
 
     # --------------------------------------------------------------- probe
     def probe(self, df: DataFrame, url_col: str = "url",

@@ -63,6 +63,12 @@ class CrawlerConfig:
     # <store>/bloom when a SnapshotStore is attached.
     bloom_capacity_per_bucket: Optional[int] = None
     bloom_target_fpr: float = 0.01
+    # which URL-seen pre-filter backs the anti-join (north_rule:
+    # "Bloom/cuckoo"): "bloom" = bit-OR mergeable, smallest blobs;
+    # "cuckoo" = 16-bit fingerprints in 4-way buckets — supports remove()
+    # and ~100x lower FPR at the cost of ~2x blob bytes. Both share the
+    # versioned side-table persistence and the no-false-negative contract.
+    seen_filter: str = "bloom"
     # drop candidates whose (raw_url, referrer-resolution key) was already
     # attempted in a previous wave BEFORE python canonicalization (exact
     # anti-join — the frontier result is identical; cross-wave re-attempts
