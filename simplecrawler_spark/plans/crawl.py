@@ -73,6 +73,14 @@ COMPACT_RATIO = 1.0
 COMPACT_MIN_ROWS = 200_000
 COMPACT_MAX_PARTS = 48
 
+# due-set eager-checkpoint gate (see _due_distributed_path): below this
+# queued-row bound the wave is fixed-cost-dominated and the checkpoint's
+# lineage truncation collapses a 133-stage duplicate-evaluation explosion
+# (2.5x steady throughput at sf0.01); above it the duplicates hide on
+# idle cores while the eager barrier adds O(due) serial wall time
+# (~25 s/wave at 1.3M due rows / 16 cores, interleaved A/B).
+DUE_CHECKPOINT_MAX_ROWS = 500_000
+
 
 @contextmanager
 def _timed(label: str):
@@ -908,18 +916,34 @@ class WaveCrawler:
             grain = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):
             grain = 0
-        # the due set is MATERIALIZED once (lineage truncation), not merely
-        # persisted: the wave plan references it many times (fetch join →
-        # status branch → bodies → discovery → candidates, then again in
-        # the delta), and in-memory-cache SUBSTITUTION of a lazily-persisted
-        # plan proved unreliable under AQE — the event log showed the
-        # politeness windows re-executing ~8x inside the fused counter
+        # SMALL due sets are MATERIALIZED once (lineage truncation, not
+        # persist): the wave plan references the due set many times (fetch
+        # join → status branch → bodies → discovery → candidates, then again
+        # in the delta), and in-memory-cache SUBSTITUTION of a lazily-
+        # persisted plan proved unreliable under AQE — the event log showed
+        # the politeness windows re-executing ~8x inside the fused counter
         # action and again in every later action (BENCH/PROFILE.md, "due
-        # checkpoint"). A checkpoint's scan cannot miss. Cost: one job over
-        # ≤ politeness-budget rows — O(wave), the same bound as the commit.
+        # checkpoint"); on a fixed-cost-dominated small wave that stage
+        # explosion (133 vs 38 stages) tripled wave time, and the eager
+        # checkpoint bought 2.5x steady throughput on the sf0.01 bench.
+        # LARGE due sets skip it: a 16-core A/B on the 3.2M-page scaling
+        # input (BENCH/BASELINE.md protocol, interleaved legs) measured the
+        # checkpoint costing ~25 s/steady-wave (79/80 s vs 53/60 s) — the
+        # duplicate window evaluations overlap compute-bound stages on
+        # cores the mega job leaves idle (nearly free), while the eager
+        # materialization is a serial barrier the whole wave waits on, and
+        # its cost grows with due-set size. The driver-tracked queued count
+        # (an upper bound on the due set, maintained without a job) picks
+        # the side; SPARK_GRAFT_DUE_MATERIALIZE forces it for A/Bs
+        # (driver-side knob — never needs to reach executors).
         due_all = due_all.repartition(
             max(grain, self.spark.sparkContext.defaultParallelism),
-            "host_bucket", "id").localCheckpoint(eager=True)
+            "host_bucket", "id")
+        mode = os.environ.get("SPARK_GRAFT_DUE_MATERIALIZE", "auto")
+        small_due = (self.queued_count is not None
+                     and self.queued_count < DUE_CHECKPOINT_MAX_ROWS)
+        if mode == "checkpoint" or (mode == "auto" and small_due):
+            due_all = due_all.localCheckpoint(eager=True)
         sitemap_candidates: List[dict] = []
         if self.config.respect_robots_txt:
             trig_df = (due_all.groupBy("protocol", "host", "port")
