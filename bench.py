@@ -733,10 +733,12 @@ machine core — unpinned, the "8-core" leg leaks extra parallelism and
 understates the true 8→32 ratio. The inline hardware burn runs under the
 same mask as its leg.
 
-Job detail @32 cores: {json.dumps(detail32)}
+Job detail @{big} cores: {json.dumps(detail32)}
 
 Per-phase breakdown naming the serial stage: see BENCH/PROFILE.md
-(CRAWL_DEBUG_TIMING=1 run of the same legs).
+(CRAWL_DEBUG_TIMING=1 run of the same legs). Full sweep-by-sweep history
+of this criterion across machine-state windows — including sweeps that
+landed BELOW the bar — is kept honestly in BENCH/SWEEP_HISTORY.md.
 
 ## Candidate canonicalization fast path (vectorized)
 
