@@ -516,6 +516,14 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
                # them from coalescing below defaultParallelism)
                "--conf", f"spark.sql.shuffle.partitions={max(cpus * 6, 48)}",
                "--conf", f"spark.default.parallelism={cpus}",
+               # AQE's parallelismFirst coalescing collapses the deliberate
+               # 6x-cores shuffle grain back to ~defaultParallelism: event-log
+               # profiling showed window/join stages running as 18 twelve-
+               # second tasks at 16 cores (2-wave packing, one 14 s straggler
+               # = the stage's whole tail). The grain is already sized by the
+               # line above; keep AQE (skew-join splits, empty-partition
+               # pruning) but not its re-coalescing.
+               "--conf", "spark.sql.adaptive.coalescePartitions.enabled=false",
                # local mode = ONE JVM shared by all task threads: size the
                # heap for the 32-thread leg so GC pressure (not cores) is
                # never what the 8-vs-32 ratio measures

@@ -31,10 +31,23 @@ Design for scale:
 from __future__ import annotations
 
 import math
+import os
+import time
+from contextlib import contextmanager
 from typing import Iterable, List, Optional
 
 import numpy as np
 import pandas as pd
+
+_DEBUG_TIMING = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
+
+
+@contextmanager
+def _timed(label: str):
+    t = time.time()
+    yield
+    if _DEBUG_TIMING:
+        print(f"T {label} {time.time() - t:.1f}s", flush=True)
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -115,8 +128,9 @@ class BloomSideTable(VersionedSideTable):
         m, k = self.m, self.k
         keys = df.select(F.col(bucket_col).cast("int").alias("host_bucket"),
                          *_hash_cols(url_col))
-        touched = sorted(int(r[0]) for r in
-                         keys.select("host_bucket").distinct().collect())
+        with _timed("    bloom/touched-collect"):
+            touched = sorted(int(r[0]) for r in
+                             keys.select("host_bucket").distinct().collect())
         if not touched:
             return
         base, compact = self._delta_plan(touched)
@@ -145,7 +159,8 @@ class BloomSideTable(VersionedSideTable):
         merged = (base.groupBy("host_bucket")
                   .cogroup(keys.groupBy("host_bucket"))
                   .applyInPandas(merge, FILTER_SCHEMA))
-        self._commit_delta(merged, touched, compact)
+        with _timed("    bloom/merge-commit"):
+            self._commit_delta(merged, touched, compact)
 
     # --------------------------------------------------------------- probe
     def probe(self, df: DataFrame, url_col: str = "url",

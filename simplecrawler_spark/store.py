@@ -27,11 +27,23 @@ import inspect
 import json
 import os
 import shutil
+import time
+from contextlib import contextmanager
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .schema import FRONTIER_SCHEMA
+
+_DEBUG_TIMING = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
+
+
+@contextmanager
+def _timed(label: str):
+    t = time.time()
+    yield
+    if _DEBUG_TIMING:
+        print(f"T {label} {time.time() - t:.1f}s", flush=True)
 
 
 class SnapshotStore:
@@ -196,9 +208,11 @@ class SnapshotStore:
             shutil.rmtree(out)  # re-commit after crash-before-manifest
         # one file per host_bucket dir (not one per task x bucket): cluster
         # rows by bucket before the partitioned write
-        self._write_clustered(delta, out)
+        with _timed("  commit/delta-write"):
+            self._write_clustered(delta, out)
         committed = self._canonical(self._read_delta(out))
-        bucket_counts = self._bucket_counts(out)
+        with _timed("  commit/footers"):
+            bucket_counts = self._bucket_counts(out)
         if callable(state):
             # driver-state finalizer: lets the caller derive counters from
             # the MATERIALIZED delta (cheap parquet read) instead of
@@ -215,9 +229,11 @@ class SnapshotStore:
             # fresh rows in this delta carry the committed wave id; outcome
             # rows (status updates) keep their enqueue wave and are already
             # in the filter.
-            bloom.add(committed.filter(F.col("wave") == wave)
-                      .select("host_bucket", "url"))
-            fpr = bloom.fpr_by_bucket()
+            with _timed("  commit/bloom-add"):
+                bloom.add(committed.filter(F.col("wave") == wave)
+                          .select("host_bucket", "url"))
+            with _timed("  commit/bloom-fpr"):
+                fpr = bloom.fpr_by_bucket()
         lineage = [
             {"wave": wave, "host_bucket": hb, "url_count": n,
              "bloom_fpr": fpr.get(hb)}
@@ -253,7 +269,8 @@ class SnapshotStore:
         out = os.path.join(self.path, rel)
         if os.path.exists(out):
             shutil.rmtree(out)
-        self._write_clustered(current, out)
+        with _timed("  compact/base-write"):
+            self._write_clustered(current, out)
         state = self.waves[-1]["state"]
         lineage = self.waves[-1]["lineage"]
         superseded = [w["delta"] for w in self.waves if w["delta"] != rel]
