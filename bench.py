@@ -549,16 +549,29 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
                # make the two legs run different frontiers
                "--host-buckets", "128",
                "--store", os.path.join(tmp, "store")]
-        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        _sh.rmtree(tmp, ignore_errors=True)
-        res = json.loads(line)
         # per-leg inline hardware calibration: the VM is credit-throttled
         # and its effective-core count DRIFTS over minutes, so a single
         # up-front ceiling mis-normalizes whichever leg runs later.
         # Measure the perfectly-parallel burn at this leg's own proc count
-        # immediately after the leg, against the same machine state.
-        res["hw_rate"] = _hw_rate(cpus)
+        # BOTH immediately before and immediately after the leg — a
+        # sustained leg drains credits while it runs, so the post-burn
+        # alone sees a more-throttled machine than the leg's early waves
+        # and the pre-burn alone a less-throttled one; their mean brackets
+        # the during-leg machine state from both sides.
+        hw_pre = _hw_rate(cpus)
+        steal0 = _steal_jiffies()
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        steal1 = _steal_jiffies()
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        _sh.rmtree(tmp, ignore_errors=True)
+        res = json.loads(line)
+        hw_post = _hw_rate(cpus)
+        res["hw_pre"], res["hw_post"] = round(hw_pre, 3), round(hw_post, 3)
+        res["hw_rate"] = (hw_pre + hw_post) / 2
+        # hypervisor steal fraction DURING the leg (from /proc/stat):
+        # direct evidence of credit-throttle, independent of the burn
+        ds, dt = steal1[0] - steal0[0], steal1[1] - steal0[1]
+        res["steal_frac"] = round(ds / dt, 4) if dt else 0.0
         return res
 
     def steady(res):
@@ -599,10 +612,17 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
     # order-balanced interleaving: odd rounds run big-first, so no core
     # count systematically executes on the more credit-drained box; best
     # leg per size counts
+    rest = int(os.environ.get("SPARK_GRAFT_SCALE_REST", "0"))
+    first_leg = True
     for rnd in range(rounds):
         asc = (rnd % 2 == 0) if order_env not in ("asc", "desc") \
             else (order_env == "asc")
         for cpus in (sizes if asc else list(reversed(sizes))):
+            # optional idle rest between legs so a sustained prior leg's
+            # credit drain doesn't bleed into this leg's machine state
+            if rest and not first_leg:
+                time.sleep(rest)
+            first_leg = False
             res = run_leg(cpus)
             if cpus not in results or steady(res) > steady(results[cpus]):
                 results[cpus] = res
@@ -641,7 +661,10 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
         f"**{s['eff']}** | **{s['eff_cal']}** |" for s in stats)
     leg_rows = "\n".join(
         f"| {c} | {steady(results[c])} | {results[c]['urls_per_sec']} | "
-        f"{results[c]['wall_sec']} | {results[c]['hw_rate']:.2f} |"
+        f"{results[c]['wall_sec']} | {results[c]['hw_rate']:.2f}"
+        + (f" ({results[c]['hw_pre']:.2f}->{results[c]['hw_post']:.2f})"
+           if "hw_pre" in results[c] else "")
+        + f" | {results[c].get('steal_frac', 'n/a')} |"
         for c in sizes)
     bw_section = ""
     try:
@@ -702,9 +725,18 @@ RAW efficiency is the meaningful sandbox stand-in for a real N -> 4N
 cluster (where aggregate CPU genuinely quadruples). Both are reported;
 each pair's calibration uses its own legs' inline ceilings.
 
-| cores | steady crawl URLs/sec | whole-run URLs/sec | wall sec | hw ceiling (Mhash/s, inline) |
-| --- | --- | --- | --- | --- |
+| cores | steady crawl URLs/sec | whole-run URLs/sec | wall sec | hw ceiling (Mhash/s, mean of pre/post burn) | steal frac |
+| --- | --- | --- | --- | --- | --- |
 {leg_rows}
+
+The hw ceiling is the MEAN of a perfectly-parallel sha256 burn run
+immediately BEFORE and immediately AFTER the leg (both shown in
+parentheses): a sustained leg drains hypervisor CPU credits while it
+runs, so the post-burn alone sees a more-throttled machine than the
+leg's early waves did — the pre/post mean brackets the during-leg
+state from both sides. `steal frac` is the /proc/stat steal-time
+fraction measured ACROSS the leg itself — the hypervisor's own
+accounting of withheld cycles while the job ran.
 
 | pair N -> 4N | steady N | steady 4N | hw ceiling (inline) | raw eff T4N/(4*TN) | calibrated (T4N/TN)/(hw4N/hwN) |
 | --- | --- | --- | --- | --- | --- |
@@ -812,6 +844,22 @@ def _burn(n: int) -> int:
     for _ in range(n):
         h = hashlib.sha256(h).digest()
     return 1
+
+
+def _steal_jiffies() -> tuple:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line —
+    the hypervisor's own accounting of cycles it withheld from this VM.
+    The delta across a bench leg gives the steal fraction DURING the leg,
+    evidence of credit-throttling that is independent of (and complements)
+    the inline sha256 burn."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
 
 
 def _stream(n: int) -> float:
