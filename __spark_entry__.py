@@ -191,6 +191,49 @@ def q_robots_filter(spark, sf_dir):
     return ev.mapInPandas(check, "event_id long, url string, allowed boolean")
 
 
+def q_robots_side_join(spark, sf_dir):
+    """P6 at scale: the distributed ``robots_rules`` side-table path — one
+    row per origin with the UA-selected rule list (rules_payload), verdicts
+    by origin join + eval_rules Arrow kernel (plans/crawl.py side-table
+    mode). Exercises longest-prefix Allow override (h0), $-anchored rules
+    (h2), a wildcard rule (h4), and the no-row default-allow (h1/h3)."""
+    from simplecrawler_spark.functions.robots import eval_rules, parse_robots
+    bodies = {0: "User-agent: *\nDisallow: /q\nAllow: /q7\n",
+              2: "User-agent: *\nDisallow: /q2\nDisallow: /q5$\n",
+              4: "User-agent: *\nDisallow: /*8$\nDisallow: /q4\n"}
+    rows = []
+    for k, body in bodies.items():
+        rf = parse_robots(f"http://h{k}.test/robots.txt", body)
+        rows.append((rf.protocol, rf.host, rf.port,
+                     rf.rules_payload("Node/x")))
+    side = spark.createDataFrame(
+        rows, "p string, h string, prt int, rules_json string")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("h"), (F.col("event_id") % 5).cast("string"),
+                 F.lit(".test")).alias("host"),
+        (F.floor(F.col("event_id") / 5) % 10).cast("string").alias("q"))
+    ev = ev.select(
+        "event_id", "host",
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/q"),
+                 F.col("q")).alias("url"))
+    joined = (ev.join(side, (F.col("host") == F.col("h"))
+                      & (F.lit("http") == F.col("p"))
+                      & (F.lit(80) == F.col("prt")), "left")
+              .select("event_id", "url", "rules_json"))
+
+    def check(batches):
+        for pdf in batches:
+            out = pdf[["event_id", "url"]].copy()
+            out["allowed"] = [
+                True if rj is None else eval_rules(rj, u)
+                for rj, u in zip(pdf["rules_json"], pdf["url"])]
+            yield out
+
+    return joined.mapInPandas(
+        check, "event_id long, url string, allowed boolean")
+
+
 def q_status_branch(spark, sf_dir):
     """S2: handleResponse status branching (2xx/304/3xx+location/404/410/
     else-failed) as one JVM projection."""
@@ -538,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": q_canonicalize,
         "discovery": q_discovery,
         "robots_filter": q_robots_filter,
+        "robots_side_join": q_robots_side_join,
         "status_branch": q_status_branch,
         "depth_gate": q_depth_gate,
         "dense_ids": q_dense_ids,
@@ -617,6 +661,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    'http://site.test/p' || (event_id % 10) AS url,
                    NOT ((event_id % 10) = 3 OR (event_id % 10) = 7) AS allowed
+            FROM events
+        """,
+        "robots_side_join": """
+            SELECT event_id,
+                   'http://h' || (event_id % 5) || '.test/q'
+                       || ((event_id // 5) % 10) AS url,
+                   CASE WHEN (event_id % 5) = 0
+                             THEN ((event_id // 5) % 10) = 7
+                        WHEN (event_id % 5) = 2
+                             THEN ((event_id // 5) % 10) NOT IN (2, 5)
+                        WHEN (event_id % 5) = 4
+                             THEN ((event_id // 5) % 10) NOT IN (4, 8)
+                        ELSE TRUE END AS allowed
             FROM events
         """,
         "status_branch": """

@@ -75,6 +75,15 @@ class CrawlerConfig:
     # are counted as queueduplicate instead of re-running their original
     # reject classification). The dominant python cost at scale.
     raw_url_prefilter: bool = False
+    # robots verdicts from a distributed ``robots_rules`` side table
+    # (SURVEY §1.1): one row per touched origin with the UA-selected rule
+    # list, joined into the due set / candidate stream and evaluated
+    # executor-side — the driver then retains NO parsed robots objects and
+    # never rebuilds an O(hosts) broadcast. Applies when no fetch
+    # conditions are registered (conditions must run after the robots
+    # gate INSIDE the candidate kernel, which needs the broadcast store);
+    # False forces the legacy broadcast path everywhere.
+    robots_side_table: bool = True
     tokens_per_host_per_wave: Optional[int] = None  # None = unlimited (politeness off)
     max_waves: int = 1000
     # ids are dense + reference-identical in both modes; 'composite' forces

@@ -23,12 +23,13 @@ as implemented by robots-parser:
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 from urllib.parse import unquote, urlsplit
 
-__all__ = ["RobotsFile", "RobotsStore", "parse_robots"]
+__all__ = ["RobotsFile", "RobotsStore", "parse_robots", "eval_rules"]
 
 _WILDCARD_CHARS = re.compile(r"[*$]")
 
@@ -68,6 +69,27 @@ def _compile_rule(pattern: str, allow: bool) -> _Rule:
     return _Rule(pattern, allow)
 
 
+def _match_rules(rules: List[_Rule], path: str) -> Optional[bool]:
+    """Verdict of a rule list over a normalized path+query — the matching
+    core shared by RobotsFile.is_allowed and the side-table evaluator:
+    a matching wildcard rule returns immediately (robots-parser quirk);
+    otherwise the longest matching plain prefix wins, Allow winning length
+    ties; no match ⇒ None (caller maps to its default)."""
+    best: Optional[_Rule] = None
+    for rule in rules:
+        if rule.regex is not None:
+            if rule.regex.search(path):
+                return rule.allow
+            continue
+        if not path.startswith(rule.pattern):
+            continue
+        if (best is None or len(rule.pattern) > len(best.pattern)
+                or (len(rule.pattern) == len(best.pattern)
+                    and rule.allow and not best.allow)):
+            best = rule
+    return None if best is None else best.allow
+
+
 @dataclass
 class RobotsFile:
     """One parsed robots.txt, scoped to its origin (protocol, host, port)."""
@@ -99,19 +121,24 @@ class RobotsFile:
         if rules is None:
             return True
         path = _normalize_path((sp.path or "/") + (("?" + sp.query) if sp.query else ""))
-        best: Optional[_Rule] = None
-        for rule in rules:
-            if rule.regex is not None:
-                if rule.regex.search(path):
-                    return rule.allow  # wildcard rule: first match returns
-                continue
-            if not path.startswith(rule.pattern):
-                continue
-            if (best is None or len(rule.pattern) > len(best.pattern)
-                    or (len(rule.pattern) == len(best.pattern)
-                        and rule.allow and not best.allow)):
-                best = rule
-        return True if best is None else best.allow
+        v = _match_rules(rules, path)
+        return True if v is None else v
+
+    def rules_payload(self, user_agent: str = "*") -> Optional[str]:
+        """Serialized rule list for the group ``user_agent`` selects — the
+        ``robots_rules`` side-table cell for this origin. JSON
+        ``[[pattern, allow], ...]`` in file order (order is semantic: a
+        matching wildcard rule returns first). None when no group applies —
+        the verdict is then always True, exactly like having no file, so
+        the origin simply gets no side-table row. The crawl's user agent is
+        fixed, so group selection happens ONCE here (driver, parse time)
+        instead of per URL on the executors."""
+        rules = self.groups.get(_format_user_agent(user_agent))
+        if rules is None:
+            rules = self.groups.get("*")
+        if rules is None:
+            return None
+        return json.dumps([[r.pattern, r.allow] for r in rules])
 
     # robots-parser surface breadth (src/types/robots-parser.d.ts):
     # the reference only consumes isAllowed, but exposes the full object
@@ -137,19 +164,8 @@ class RobotsFile:
             return False
         path = _normalize_path((sp.path or "/")
                                + (("?" + sp.query) if sp.query else ""))
-        best: Optional[_Rule] = None
-        for rule in rules:
-            if rule.regex is not None:
-                if rule.regex.search(path):
-                    return not rule.allow
-                continue
-            if not path.startswith(rule.pattern):
-                continue
-            if (best is None or len(rule.pattern) > len(best.pattern)
-                    or (len(rule.pattern) == len(best.pattern)
-                        and rule.allow and not best.allow)):
-                best = rule
-        return False if best is None else not best.allow
+        v = _match_rules(rules, path)
+        return False if v is None else not v
 
     def get_crawl_delay(self, user_agent: str = "*") -> Optional[float]:
         d = self.crawl_delays.get(_format_user_agent(user_agent))
@@ -212,6 +228,36 @@ def parse_robots(robots_url: str, body: str) -> RobotsFile:
             if value:
                 rf.sitemaps.append(value)
     return rf
+
+
+# executor-side cache: rules_payload string → compiled rule list. Bounded
+# (a payload string is one origin's rules; web-scale crawls see many) —
+# cleared wholesale at the cap, which only costs recompilation.
+_EVAL_CACHE: dict = {}
+_EVAL_CACHE_CAP = 8192
+
+
+def eval_rules(rules_json: str, url: str) -> bool:
+    """Verdict for ``url`` under a ``rules_payload`` cell — identical to
+    RobotsFile.is_allowed with the origin guard already satisfied (the
+    caller joined the side table on origin) and the UA group pre-selected
+    at parse time. This is the executor kernel of the distributed
+    ``robots_rules`` side-table path (SURVEY §1.1): verdicts need only
+    (rules cell, url), never the O(hosts) driver store."""
+    rules = _EVAL_CACHE.get(rules_json)
+    if rules is None:
+        if len(_EVAL_CACHE) >= _EVAL_CACHE_CAP:
+            _EVAL_CACHE.clear()
+        rules = [_compile_rule(p, a) for p, a in json.loads(rules_json)]
+        _EVAL_CACHE[rules_json] = rules
+    try:
+        sp = urlsplit(url)
+        path = _normalize_path((sp.path or "/")
+                               + (("?" + sp.query) if sp.query else ""))
+    except Exception:
+        return False  # same choke path as RobotsStore.url_is_allowed
+    v = _match_rules(rules, path)
+    return True if v is None else v
 
 
 class RobotsStore:

@@ -139,13 +139,35 @@ class WaveCrawler:
         self.pages = pages
         self.cache = cache  # (url, etag, last_modified) from a previous crawl
         self.robots = RobotsStore(config.user_agent)
-        # robots state reaches executors as ONE broadcast, rebuilt only when
-        # a robots file is added — never closure-shipped per wave (at 10^6+
-        # hosts the closure copy was O(hosts) serialized bytes per wave)
+        # robots verdict source, two shapes (SURVEY §1.1):
+        # - side table (default at scale): one row per touched origin with
+        #   the UA-selected rule list, maintained as base+parts like the
+        #   frontier; verdicts run executor-side via join + Arrow kernel.
+        #   The driver parses each robots body once, appends the row, and
+        #   RETAINS NOTHING — O(new origins) transient work per wave, zero
+        #   O(hosts) driver state or broadcast.
+        # - broadcast store (driver/golden path, or with fetch conditions —
+        #   those run after the robots gate inside the candidate kernel):
+        #   rebuilt only when a robots file is added.
+        self._robots_side_active = bool(
+            config.respect_robots_txt and config.robots_side_table
+            and not config.fetch_conditions)
+        # the driver keeps parsed RobotsFile objects only when some
+        # consumer needs them: the driver due path (record_fetch_log) and
+        # in-kernel verdicts (fetch conditions / side table disabled)
+        self._robots_retain = bool(
+            config.record_fetch_log or config.fetch_conditions
+            or not config.robots_side_table)
+        self._robots_side_base: Optional[DataFrame] = None
+        self._robots_side_parts: List[DataFrame] = []
         self._robots_bc = None
         self._robots_bc_version = -1
         # robots/touched append-only side log bookkeeping (store-backed
-        # runs): the manifest carries COUNTS, not bodies — O(1) per commit
+        # runs): the manifest carries COUNTS, not bodies — O(1) per commit.
+        # The flush buffer holds files parsed since the last flush, so
+        # durability never depends on the store retaining self.robots.files
+        self._robots_unflushed: List = []
+        self._robots_file_count = 0
         self._robots_flushed = {"touches": 0, "files": 0}
         # touched-origin side table for the distributed due path: the
         # per-wave trigger collect anti-joins it so only NEW origins reach
@@ -454,7 +476,7 @@ class WaveCrawler:
             self._flush_robots_log()
             state["robots_log"] = {
                 "touches": len(self.robots.touched_hosts),
-                "files": len(self.robots.files)}
+                "files": self._robots_file_count}
         else:
             state["robots"] = [{"url": rf.url, "body": rf.body}
                                for rf in self.robots.files]
@@ -486,13 +508,18 @@ class WaveCrawler:
             touches, robots = store.read_robots_log(
                 counts["touches"], counts["files"])
             c._robots_flushed = dict(counts)
+            in_log = True
         else:  # legacy inline-manifest format
             touches = state["touched"]
             robots = state["robots"]
+            in_log = False  # re-buffer: the next flush migrates to the log
         for origin in touches:
             c.robots.touch(origin)  # rebuilds the touched set + order
         for r in robots:
-            c.robots.add(parse_robots(r["url"], r["body"]))
+            # durable=False when the body is already in the committed log —
+            # replay then rebuilds the side table / store / delay cache only
+            c._note_robots_file(parse_robots(r["url"], r["body"]),
+                                durable=not in_log)
         for k in state["cookies"]:
             c.jar.cookies.append(Cookie(**k))
         # one-time MoR merge, materialized: subsequent waves extend it
@@ -671,43 +698,106 @@ class WaveCrawler:
         side log (content written once, ever) — the manifest then records
         only counts. Called from _driver_state() so every manifest commit
         has its log prefix durable first; a crash between the two leaves an
-        orphan suffix that resume truncates."""
+        orphan suffix that resume truncates. Files drain from the flush
+        buffer (filled at parse time), so the side-table mode — where the
+        driver retains no parsed files — stays durably resumable."""
         if self.store is None:
+            self._robots_unflushed = []
             return
-        t0, f0 = self._robots_flushed["touches"], self._robots_flushed["files"]
+        t0 = self._robots_flushed["touches"]
         touches = self.robots.touched_hosts[t0:]
-        files = self.robots.files[f0:]
+        files = self._robots_unflushed
         if not touches and not files:
             return
         self.store.append_robots_log(
             [{"touch": o} for o in touches]
             + [{"robots": {"url": rf.url, "body": rf.body}} for rf in files])
         self._robots_flushed = {"touches": t0 + len(touches),
-                                "files": f0 + len(files)}
+                                "files": self._robots_flushed["files"]
+                                + len(files)}
+        self._robots_unflushed = []
+
+    def _note_robots_file(self, rf, durable: bool = True) -> None:
+        """Single registration point for a freshly parsed robots file:
+        count it, buffer its body for the durability log (skipped on
+        resume replay — the body is already logged), harvest its
+        Crawl-delay into the politeness budget cache, append its rules row
+        to the side table, and retain the parsed object on the driver only
+        when a consumer needs it (see __init__). Everything the wave loop
+        needs later lives in O(1)/O(new-origins) driver state or in Spark."""
+        cfg = self.config
+        self._robots_file_count += 1
+        if durable and self.store is not None:
+            self._robots_unflushed.append(rf)
+        # Crawl-delay → per-wave token budget: the wave models
+        # ``tokens_per_host`` scheduler ticks of ``interval_ms`` each, so a
+        # host asking for one fetch per ``delay`` seconds gets
+        # min(config budget, floor(wave_duration / delay)), floored at 1 so
+        # the host keeps making progress. First file with a delay wins per
+        # host (same precedence as robots verdicts). Only hosts that SET a
+        # delay occupy driver memory.
+        tokens = cfg.tokens_per_host_per_wave
+        if tokens is not None:
+            cache, _ = self._delay_budgets_cache
+            if rf.host not in cache:
+                delay = rf.get_crawl_delay(cfg.user_agent)
+                if delay and delay > 0:
+                    wave_ms = tokens * cfg.interval_ms
+                    cache[rf.host] = min(
+                        tokens, max(1, int(wave_ms / (delay * 1000.0))))
+        if self._robots_side_active:
+            payload = rf.rules_payload(cfg.user_agent)
+            if payload is not None:
+                self._robots_side_parts.append(self.spark.createDataFrame(
+                    [(rf.protocol, rf.host, rf.port, payload)],
+                    "protocol string, host string, port int, "
+                    "rules_json string"))
+        if self._robots_retain:
+            self.robots.add(rf)
 
     def _crawl_delay_budgets(self) -> Optional[dict]:
-        """host → per-wave token budget implied by a parsed ``Crawl-delay``
-        (functions/robots.py parse): the wave models ``tokens_per_host``
-        scheduler ticks of ``interval_ms`` each, so a host asking for one
-        fetch per ``delay`` seconds gets
-        min(config budget, floor(wave_duration / delay)), floored at 1 so
-        the host keeps making progress. First-touched file per host wins
-        (the same precedence as robots verdicts). Incrementally maintained —
-        only robots files added since the last wave are examined."""
-        tokens = self.config.tokens_per_host_per_wave
-        if tokens is None:
+        """host → per-wave token budget harvested at robots parse time
+        (_note_robots_file); None when politeness is off or no host set a
+        Crawl-delay."""
+        if self.config.tokens_per_host_per_wave is None:
             return None
-        cache, n_seen = self._delay_budgets_cache
-        for rf in self.robots.files[n_seen:]:
-            if rf.host in cache:
-                continue
-            delay = rf.get_crawl_delay(self.config.user_agent)
-            if delay and delay > 0:
-                wave_ms = tokens * self.config.interval_ms
-                cache[rf.host] = min(
-                    tokens, max(1, int(wave_ms / (delay * 1000.0))))
-        self._delay_budgets_cache = (cache, len(self.robots.files))
-        return cache or None
+        return self._delay_budgets_cache[0] or None
+
+    def _robots_side_view(self) -> Optional[DataFrame]:
+        """The ``robots_rules`` side table (origin → UA-selected rule list),
+        base + per-wave parts; compacted to a checkpoint when the part list
+        grows wide. One row per touched origin that has applicable rules —
+        origins without a row are allowed by default, identical to the
+        store's no-file verdict."""
+        if len(self._robots_side_parts) > 32:
+            base = self._robots_side_base
+            for p in self._robots_side_parts:
+                base = p if base is None else base.unionByName(p)
+            self._robots_side_base = base.localCheckpoint(eager=True)
+            self._robots_side_parts = []
+        out = self._robots_side_base
+        for p in self._robots_side_parts:
+            out = p if out is None else out.unionByName(p)
+        return out
+
+    def _with_rules_json(self, df: DataFrame, side: DataFrame) -> DataFrame:
+        """Left-join the rules side table onto rows carrying (protocol,
+        host, port) columns, adding ``rules_json`` (null = no applicable
+        rules). The port key is normalized — frontier/candidate rows use 0
+        (sometimes null) for a default port while the side table stores the
+        explicit 80/443."""
+        s = side.select(F.col("protocol").alias("__r_proto"),
+                        F.col("host").alias("__r_host"),
+                        F.col("port").alias("__r_port"),
+                        "rules_json")
+        norm_port = (F.when(F.col("port").isNull() | (F.col("port") <= 0),
+                            F.when(F.col("protocol") == "https",
+                                   F.lit(443)).otherwise(F.lit(80)))
+                     .otherwise(F.col("port")))
+        return (df.join(s, (F.col("protocol") == F.col("__r_proto"))
+                        & (F.col("host") == F.col("__r_host"))
+                        & (norm_port == F.col("__r_port")), "left")
+                .drop("__r_proto", "__r_host", "__r_port"))
 
     def _touched_view(self) -> Optional[DataFrame]:
         """(protocol, host, port) keys already robots-triggered — small side
@@ -849,7 +939,7 @@ class WaveCrawler:
                 self._count("robotstxterror", 1)
                 continue
             rf = parse_robots(robots_url, body)
-            self.robots.add(rf)
+            self._note_robots_file(rf)
             robots_item = process_url(robots_url, turl, tdepth,
                                       self.config.url_options())
             if robots_item is None:
@@ -959,20 +1049,32 @@ class WaveCrawler:
                     .collect())
             sitemap_candidates = self._robots_from_triggers(
                 [tuple(r) for r in trig])
-        if not (self.config.respect_robots_txt and self.robots.files):
-            return due_all, None, 0, sitemap_candidates
-        bc = self._robots_broadcast()
-
-        def check(batches):
-            store = bc.value
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf["robots_ok"] = [store.url_is_allowed(u) for u in pdf["url"]]
-                yield pdf
-
         schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                            for f in due_all.schema.fields) + ", robots_ok boolean"
-        checked = due_all.mapInPandas(check, schema).persist()
+        if self._robots_side_active:
+            # distributed verdicts from the robots_rules side table: join
+            # on origin, Arrow-evaluate only the joined rules cell — no
+            # O(hosts) broadcast, no driver robots state
+            side = self._robots_side_view()
+            if side is None:
+                return due_all, None, 0, sitemap_candidates
+            from ..operators.udfs import make_due_robots_gate
+            checked = self._with_rules_json(due_all, side) \
+                .mapInPandas(make_due_robots_gate(), schema).persist()
+        else:
+            if not (self.config.respect_robots_txt and self.robots.files):
+                return due_all, None, 0, sitemap_candidates
+            bc = self._robots_broadcast()
+
+            def check(batches):
+                store = bc.value
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    pdf["robots_ok"] = [store.url_is_allowed(u)
+                                        for u in pdf["url"]]
+                    yield pdf
+
+            checked = due_all.mapInPandas(check, schema).persist()
         self._wave_caches.append(checked)
         due = checked.filter("robots_ok").drop("robots_ok")
         due_dis = checked.filter("NOT robots_ok").drop("robots_ok")
@@ -1306,10 +1408,24 @@ class WaveCrawler:
             candidates = cand_parts[0]
             for p in cand_parts[1:]:
                 candidates = candidates.unionByName(p)
+            # side-table mode: the kernel runs robots-free (empty store) and
+            # verdicts come from a post-kernel join against robots_rules +
+            # a pass that stamps fetchdisallowed on still-unrejected rows —
+            # same filter precedence, no O(hosts) broadcast in the kernel
+            side = self._robots_side_view() if self._robots_side_active \
+                else None
+            robots_arg = [] if self._robots_side_active \
+                else self._robots_broadcast()
             out = candidates.mapInPandas(
-                make_candidate_processor(cfg, self._robots_broadcast(),
-                                         self.crawl_host),
-                PROCESSED_CANDIDATE_SCHEMA).persist()
+                make_candidate_processor(cfg, robots_arg, self.crawl_host),
+                PROCESSED_CANDIDATE_SCHEMA)
+            if side is not None:
+                from ..operators.udfs import make_candidate_robots_gate
+                out = self._with_rules_json(out, side).mapInPandas(
+                    make_candidate_robots_gate(
+                        [f.name for f in PROCESSED_CANDIDATE_SCHEMA.fields]),
+                    PROCESSED_CANDIDATE_SCHEMA)
+            out = out.persist()
             self._wave_caches.append(out)
             return out
 

@@ -62,13 +62,23 @@ def test_robots_batch_cross_host(spark):
     # origin index grew one entry per robots file, no duplicate origins
     assert len(a.robots._by_origin) == len(a.robots.files)
 
-    # robots reach executors as ONE broadcast, rebuilt only on growth: the
-    # version tracks the file count, and a wave with no new robots reuses
-    # the same broadcast object (no per-wave closure shipping)
-    assert b._robots_bc is not None
-    assert b._robots_bc_version == len(b.robots.files)
-    bc_before = b._robots_bc
-    assert b._robots_broadcast() is bc_before
+    # scale path (no fetch log, no conditions): robots verdicts come from
+    # the distributed robots_rules side table — the driver retains NO
+    # parsed robots objects and never builds the O(hosts) broadcast; one
+    # side-table row per origin whose robots.txt has applicable rules
+    # (every even host here), counted against the total parsed files
+    assert b._robots_side_active
+    assert b._robots_bc is None
+    assert b.robots.files == []          # nothing retained driver-side
+    assert b._robots_file_count == len(a.robots.files)
+    side = b._robots_side_view()
+    assert side is not None
+    side_rows = side.collect()
+    assert len(side_rows) == b._robots_file_count  # all fixtures have rules
+    assert len({(r["protocol"], r["host"], r["port"])
+                for r in side_rows}) == len(side_rows)
+    # driver/golden path keeps the broadcast-capable retained store
+    assert a.robots.files and a._robots_file_count == len(a.robots.files)
 
     # distributed due path: origins already triggered are anti-joined out,
     # so the per-wave trigger collect is O(new origins)
