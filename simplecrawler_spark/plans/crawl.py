@@ -160,6 +160,7 @@ class WaveCrawler:
             or not config.robots_side_table)
         self._robots_side_base: Optional[DataFrame] = None
         self._robots_side_parts: List[DataFrame] = []
+        self._robots_side_rowbuf: List[tuple] = []
         self._robots_bc = None
         self._robots_bc_version = -1
         # robots/touched append-only side log bookkeeping (store-backed
@@ -748,10 +749,11 @@ class WaveCrawler:
         if self._robots_side_active:
             payload = rf.rules_payload(cfg.user_agent)
             if payload is not None:
-                self._robots_side_parts.append(self.spark.createDataFrame(
-                    [(rf.protocol, rf.host, rf.port, payload)],
-                    "protocol string, host string, port int, "
-                    "rules_json string"))
+                # buffered: one DataFrame part per side-view refresh (i.e.
+                # per wave), never one local relation per robots FILE — a
+                # seed wave can parse thousands of origins
+                self._robots_side_rowbuf.append(
+                    (rf.protocol, rf.host, rf.port, payload))
         if self._robots_retain:
             self.robots.add(rf)
 
@@ -769,6 +771,11 @@ class WaveCrawler:
         grows wide. One row per touched origin that has applicable rules —
         origins without a row are allowed by default, identical to the
         store's no-file verdict."""
+        if self._robots_side_rowbuf:
+            self._robots_side_parts.append(self.spark.createDataFrame(
+                self._robots_side_rowbuf,
+                "protocol string, host string, port int, rules_json string"))
+            self._robots_side_rowbuf = []
         if len(self._robots_side_parts) > 32:
             base = self._robots_side_base
             for p in self._robots_side_parts:
