@@ -16,9 +16,10 @@ Everything else in the wave (status branching, joins, dedupe, politeness
 ranking, id assignment) is JVM-side DataFrame code — no per-row Python.
 
 Robots verdicts have two shapes: the default scale path joins the
-``robots_rules`` side table and evaluates only the joined rules cell
-(``make_due_robots_gate`` / ``make_candidate_robots_gate`` — zero O(hosts)
-driver or broadcast state); with user fetch conditions the verdict runs
+``robots_rules`` side table and evaluates only the joined rules cell with
+a scalar pandas UDF (``robots_allowed_udf`` — zero O(hosts) driver or
+broadcast state, only two string columns cross Arrow); with user fetch
+conditions the verdict runs
 inside the candidate kernel from a Spark broadcast of the store (one
 executor-cached copy, rebuilt only when a robots file is added — never a
 per-wave closure capture, which would be O(hosts) bytes per wave).
@@ -125,51 +126,35 @@ def make_body_processor(config: CrawlerConfig) -> Callable:
     return process
 
 
-def make_due_robots_gate() -> Callable:
-    """mapInPandas kernel over due rows left-joined with the
-    ``robots_rules`` side table (extra ``rules_json`` column): appends a
-    ``robots_ok`` verdict and drops the rules cell. Rows whose origin has
-    no side-table row (rules_json null) are allowed — identical to the
-    store's no-file default (crawler.ts:692-695 fold default true)."""
+def robots_allowed_udf():
+    """Scalar pandas UDF ``(rules_json, url) -> allowed`` — the verdict
+    kernel of the distributed ``robots_rules`` side-table path.
+
+    A scalar UDF (not mapInPandas) so ONLY the two string columns cross
+    the Arrow boundary: the due/candidate rows it gates are wide (referrer
+    structs, state payloads), and round-tripping them through a Python
+    worker just to append one boolean measurably inflated the robots-ON
+    wave time (BENCH/BASELINE.md robots-overhead section). With a scalar
+    UDF the wide payload stays JVM-side and the evaluation pipelines into
+    the surrounding stage.
+
+    Null semantics: no side-table row for the origin (rules_json null) or
+    a null url ⇒ allowed — identical to the store's no-file default
+    (crawler.ts:692-695 fold default true)."""
+    from pyspark.sql.functions import pandas_udf
     from ..functions.robots import eval_rules
 
-    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf.drop(columns=["rules_json"])
-            out["robots_ok"] = [
-                True if rj is None else eval_rules(rj, u)
-                for rj, u in zip(pdf["rules_json"], pdf["url"])]
-            yield out
+    @pandas_udf("boolean")
+    def allowed(rules_json: pd.Series, url: pd.Series) -> pd.Series:
+        out = np.full(len(rules_json), True, dtype=object)
+        rj_a = rules_json.to_numpy(object)
+        url_a = url.to_numpy(object)
+        for i in np.nonzero(rules_json.notna().to_numpy(bool)
+                            & url.notna().to_numpy(bool))[0]:
+            out[i] = bool(eval_rules(rj_a[i], url_a[i]))
+        return pd.Series(out, dtype="boolean")
 
-    return gate
-
-
-def make_candidate_robots_gate(out_columns: List[str]) -> Callable:
-    """mapInPandas kernel over processed candidates left-joined with the
-    ``robots_rules`` side table: sets ``reject_reason='fetchdisallowed'``
-    on rows a matching rule disallows, preserving queueURL's filter
-    precedence (junk → invaliddomain → fetchdisallowed; crawler.ts:1483-
-    1523) because only rows still unrejected by the kernel are evaluated.
-    Only valid without fetch conditions — conditions run AFTER the robots
-    gate and therefore need the in-kernel (broadcast) verdict."""
-    from ..functions.robots import eval_rules
-
-    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            reasons = pdf["reject_reason"].to_numpy(object).copy()
-            rj_a = pdf["rules_json"].to_numpy(object)
-            url_a = pdf["url"].to_numpy(object)
-            for i in np.nonzero(
-                    pd.isna(pdf["reject_reason"]).to_numpy(bool)
-                    & pd.notna(pdf["rules_json"]).to_numpy(bool)
-                    & pd.notna(pdf["url"]).to_numpy(bool))[0]:
-                if not eval_rules(rj_a[i], url_a[i]):
-                    reasons[i] = "fetchdisallowed"
-            out = pdf.copy()
-            out["reject_reason"] = list(reasons)
-            yield out[out_columns]
-
-    return gate
+    return allowed
 
 
 def make_candidate_processor(config: CrawlerConfig, robots,

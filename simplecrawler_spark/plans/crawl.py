@@ -81,6 +81,17 @@ COMPACT_MAX_PARTS = 48
 # (~25 s/wave at 1.3M due rows / 16 cores, interleaved A/B).
 DUE_CHECKPOINT_MAX_ROWS = 500_000
 
+# robots_rules / touched-origin side tables ride explicit broadcast joins
+# while they fit an executor comfortably. The hint is REQUIRED, not an
+# optimization nicety: the side views are built from createDataFrame parts
+# (ExistingRDD — no size statistics), so Catalyst defaults their size to
+# "unknown = huge" and picks a SortMergeJoin, which shuffles + sorts the
+# full due set AND the full candidate mass on origin every wave (measured
+# +5 s/wave at sf0.1). Beyond this row count the join falls back to
+# shuffle — the 10^8-origin regime, where a broadcast wouldn't fit and the
+# side table should be store-backed/bucketed instead.
+SIDE_BROADCAST_MAX_ROWS = 500_000
+
 
 @contextmanager
 def _timed(label: str):
@@ -176,6 +187,14 @@ class WaveCrawler:
         self._touched_trig_set: set = set()
         self._touched_base: Optional[DataFrame] = None
         self._touched_parts: List[DataFrame] = []
+        # True when the previous fused wave PROVED no un-triggered origin
+        # can be due (its mega action counted zero enqueue-surviving
+        # candidates with un-touched origins — politeness guarantees every
+        # pending host gets a due row each wave, so new origins can only
+        # enter via enqueues). Lets steady waves skip the trigger job
+        # entirely; ANY out-of-band frontier mutation (seed/enqueue/
+        # seed_frontier) resets it to the safe False.
+        self._no_new_origins = False
         # host → politeness budget from robots Crawl-delay ((dict, n_files
         # examined) — grown incrementally as robots files arrive)
         self._delay_budgets_cache: tuple = ({}, 0)
@@ -535,6 +554,7 @@ class WaveCrawler:
     # ------------------------------------------------------------------- seed
     def seed(self, urls: Optional[List[str]] = None) -> None:
         """Enqueue seed URL(s) — crawler.start() :646-674."""
+        self._no_new_origins = False
         rows, seen = [], set()
         for u in (urls or [self.config.initial_url]):
             it = process_url(u, None, 0, self.config.url_options(),
@@ -576,6 +596,7 @@ class WaveCrawler:
         seeding a raw list should canonicalize first
         (functions.urlkit.process_url semantics).
         Returns the number of rows enqueued."""
+        self._no_new_origins = False
         cols = urls.columns
         frontier_empty = self.frontier is None
         if frontier_empty:
@@ -651,6 +672,7 @@ class WaveCrawler:
         all frontier maintenance is id-keyed, so duplicates are fetched
         independently, matching the reliability spec's forced-duplicate
         behavior."""
+        self._no_new_origins = False
         ref_url = referrer["url"] if referrer else None
         ref_depth = referrer["depth"] if referrer else 0
         it = process_url(url, ref_url, ref_depth, self.config.url_options(),
@@ -797,6 +819,8 @@ class WaveCrawler:
                         F.col("host").alias("__r_host"),
                         F.col("port").alias("__r_port"),
                         "rules_json")
+        if self._robots_file_count <= SIDE_BROADCAST_MAX_ROWS:
+            s = F.broadcast(s)
         norm_port = (F.when(F.col("port").isNull() | (F.col("port") <= 0),
                             F.when(F.col("protocol") == "https",
                                    F.lit(443)).otherwise(F.lit(80)))
@@ -808,8 +832,11 @@ class WaveCrawler:
 
     def _touched_view(self) -> Optional[DataFrame]:
         """(protocol, host, port) keys already robots-triggered — small side
-        table for the trigger anti-join. Parts are driver local relations;
-        compacted to a checkpoint when the list grows wide."""
+        table for the trigger anti-join and the fused no-new-origins proof.
+        Parts are driver local relations; compacted to a checkpoint when the
+        list grows wide. Broadcast-hinted while it fits (checkpointed RDD
+        scans carry no size stats, so Catalyst would otherwise SortMergeJoin
+        it against the due set / candidate mass — see SIDE_BROADCAST_MAX_ROWS)."""
         if len(self._touched_parts) > 32:
             base = self._touched_base
             for p in self._touched_parts:
@@ -819,6 +846,9 @@ class WaveCrawler:
         out = self._touched_base
         for p in self._touched_parts:
             out = p if out is None else out.unionByName(p)
+        if out is not None and \
+                len(self._touched_trig_set) <= SIDE_BROADCAST_MAX_ROWS:
+            out = F.broadcast(out)
         return out
 
     def _fetch_robots_batch(self, pairs: List[tuple]) -> Dict[str, Optional[str]]:
@@ -1042,7 +1072,11 @@ class WaveCrawler:
         if mode == "checkpoint" or (mode == "auto" and small_due):
             due_all = due_all.localCheckpoint(eager=True)
         sitemap_candidates: List[dict] = []
-        if self.config.respect_robots_txt:
+        if self.config.respect_robots_txt and not (
+                self._no_new_origins and self._touched_trig_set):
+            # skipped entirely when the previous fused wave proved no
+            # un-triggered origin can be due (steady state: ~1 s/wave of
+            # pure fixed job cost)
             trig_df = (due_all.groupBy("protocol", "host", "port")
                        .agg(F.min(F.struct("id", "depth", "url")).alias("t")))
             touched = self._touched_view()
@@ -1051,23 +1085,30 @@ class WaveCrawler:
                 # wave, not O(due hosts)
                 trig_df = trig_df.join(touched, ["protocol", "host", "port"],
                                        "left_anti")
-            trig = (trig_df.select("t.id", "t.depth", "t.url",
-                                   "protocol", "host", "port")
-                    .collect())
-            sitemap_candidates = self._robots_from_triggers(
-                [tuple(r) for r in trig])
+            with _timed("robots-triggers"):
+                trig = (trig_df.select("t.id", "t.depth", "t.url",
+                                       "protocol", "host", "port")
+                        .collect())
+            with _timed("robots-fetch"):
+                sitemap_candidates = self._robots_from_triggers(
+                    [tuple(r) for r in trig])
         schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                            for f in due_all.schema.fields) + ", robots_ok boolean"
         if self._robots_side_active:
             # distributed verdicts from the robots_rules side table: join
-            # on origin, Arrow-evaluate only the joined rules cell — no
-            # O(hosts) broadcast, no driver robots state
+            # on origin, scalar-UDF-evaluate only the joined rules cell —
+            # no O(hosts) broadcast, no driver robots state, and only the
+            # (rules_json, url) pair crosses Arrow (the wide due row stays
+            # JVM-side; a mapInPandas round-trip here cost ~1.5 s/wave)
             side = self._robots_side_view()
             if side is None:
                 return due_all, None, 0, sitemap_candidates
-            from ..operators.udfs import make_due_robots_gate
-            checked = self._with_rules_json(due_all, side) \
-                .mapInPandas(make_due_robots_gate(), schema).persist()
+            from ..operators.udfs import robots_allowed_udf
+            allowed = robots_allowed_udf()
+            checked = (self._with_rules_json(due_all, side)
+                       .withColumn("robots_ok",
+                                   allowed(F.col("rules_json"), F.col("url")))
+                       .drop("rules_json").persist())
         else:
             if not (self.config.respect_robots_txt and self.robots.files):
                 return due_all, None, 0, sitemap_candidates
@@ -1085,8 +1126,11 @@ class WaveCrawler:
         self._wave_caches.append(checked)
         due = checked.filter("robots_ok").drop("robots_ok")
         due_dis = checked.filter("NOT robots_ok").drop("robots_ok")
-        n_dis = due_dis.count()
-        return due, (due_dis if n_dis else None), n_dis, sitemap_candidates
+        # n_dis DEFERRED (None): fused waves count disallowed rows inside
+        # the mega action (one fewer serial job per wave — the eager
+        # count here cost 1.4-2.5 s/wave at sf0.1); stepwise waves count
+        # at the call site.
+        return due, due_dis, None, sitemap_candidates
 
     # -------------------------------------------------------------- main loop
     def run(self, max_waves: Optional[int] = None) -> DataFrame:
@@ -1128,7 +1172,8 @@ class WaveCrawler:
         else:
             due, due_disallowed, n_due_disallowed, sitemap_candidates = \
                 self._due_distributed_path(due_all)
-        count("fetchdisallowed", n_due_disallowed)
+        if n_due_disallowed is not None:
+            count("fetchdisallowed", n_due_disallowed)
 
         # -------------------------- fetch: join pages OR live HTTP (S1)
         if cfg.live_fetch:
@@ -1427,11 +1472,28 @@ class WaveCrawler:
                 make_candidate_processor(cfg, robots_arg, self.crawl_host),
                 PROCESSED_CANDIDATE_SCHEMA)
             if side is not None:
-                from ..operators.udfs import make_candidate_robots_gate
-                out = self._with_rules_json(out, side).mapInPandas(
-                    make_candidate_robots_gate(
-                        [f.name for f in PROCESSED_CANDIDATE_SCHEMA.fields]),
-                    PROCESSED_CANDIDATE_SCHEMA)
+                # stamp fetchdisallowed on still-unrejected rows a matching
+                # rule disallows — queueURL's precedence (junk →
+                # invaliddomain → fetchdisallowed; crawler.ts:1483-1523)
+                # holds because rejected rows keep their earlier reason.
+                # Scalar UDF: only (rules_json, url) crosses Arrow; the
+                # wide processed row (referrer struct, state) stays JVM-
+                # side. The earlier mapInPandas round-trip of the full
+                # candidate mass inflated the robots-ON mega-agg ~2.5x
+                # (BENCH/BASELINE.md robots-overhead section).
+                from ..operators.udfs import robots_allowed_udf
+                allowed = robots_allowed_udf()
+                out = (self._with_rules_json(out, side)
+                       .withColumn(
+                           "reject_reason",
+                           F.when(F.col("reject_reason").isNull()
+                                  & F.col("rules_json").isNotNull()
+                                  & ~allowed(F.col("rules_json"),
+                                             F.col("url")),
+                                  F.lit("fetchdisallowed"))
+                           .otherwise(F.col("reject_reason")))
+                       .select(*[f.name for f in
+                                 PROCESSED_CANDIDATE_SCHEMA.fields]))
             out = out.persist()
             self._wave_caches.append(out)
             return out
@@ -1464,8 +1526,40 @@ class WaveCrawler:
                 agg_plans.append(bounds_plan(
                     processed,
                     4 * max(spark.sparkContext.defaultParallelism, 1)))
+            if n_due_disallowed is None and due_disallowed is not None:
+                # deferred robots-gate count rides the mega action too
+                agg_plans.append(
+                    due_disallowed.agg(F.count("*").alias("c"))
+                    .select(F.lit("ndis").alias("k"),
+                            F.col("c").cast("long").alias("v"),
+                            F.lit(None).cast("string").alias("s")))
+            touched_now = None
+            if cfg.respect_robots_txt:
+                # prove (or refute) "no new origins pending" for the NEXT
+                # wave's trigger-skip: count enqueue-surviving candidates
+                # whose origin is not yet robots-triggered. Rides the mega
+                # action; the touched side is a broadcast local relation.
+                touched_now = self._touched_view()
+                if touched_now is not None:
+                    agg_plans.append(
+                        processed.filter(F.col("reject_reason").isNull())
+                        .select("protocol", "host", "port").dropDuplicates()
+                        .join(touched_now, ["protocol", "host", "port"],
+                              "left_anti")
+                        .agg(F.count("*").alias("c"))
+                        .select(F.lit("nneworig").alias("k"),
+                                F.col("c").cast("long").alias("v"),
+                                F.lit(None).cast("string").alias("s")))
             with _timed("mega-agg"):
                 set_cookies = collect_kv(agg_plans)
+            if n_due_disallowed is None:
+                n_due_disallowed = int(kv.get("ndis", 0))
+                count("fetchdisallowed", n_due_disallowed)
+                if not n_due_disallowed:
+                    due_disallowed = None
+            if cfg.respect_robots_txt:
+                self._no_new_origins = (touched_now is not None
+                                        and kv.get("nneworig", 1) == 0)
             id_bounds = [
                 kv[k] for k in sorted(
                     (k for k in kv if k and k.startswith("pb:")),
@@ -1488,7 +1582,16 @@ class WaveCrawler:
                            .localCheckpoint(eager=True))
                 self._content_parts.append(content)
         else:
-            # -------- stepwise path (goldens / first-request waves)
+            # -------- stepwise path (goldens / first-request waves):
+            # no fused proof this wave — next wave must run the trigger job
+            self._no_new_origins = False
+            if n_due_disallowed is None:
+                with _timed("due-robots-gate"):
+                    n_due_disallowed = due_disallowed.count() \
+                        if due_disallowed is not None else 0
+                count("fetchdisallowed", n_due_disallowed)
+                if not n_due_disallowed:
+                    due_disallowed = None
             with _timed("stats-agg"):
                 set_cookies = collect_kv([stats_plan, cookie_plan])
             stats = {n: kv.get(n, 0) for n in STATS}
@@ -1644,10 +1747,13 @@ class WaveCrawler:
                     # materialized delta's footers (no Spark job)
                     n_new = None
                 else:
-                    with_ids = with_ids.persist()
-                    self._wave_caches.append(with_ids)
-                    with _timed("dense-id-count"):
-                        n_new = with_ids.count()
+                    # deferred: finalized right after _commit from the
+                    # checkpointed delta (committed.count() - n_due_total
+                    # scans cached blocks — no second evaluation of the
+                    # dedupe + anti-join + ranking plan, which the
+                    # pre-commit persist+count here used to pay as a
+                    # 1-4 s serial job per wave)
+                    n_new = None
                 if n_new is not None:
                     count("queueadd", n_new)
                     count("queueduplicate", n_cand - n_new)
@@ -1715,6 +1821,15 @@ class WaveCrawler:
         else:
             with _timed("commit"):
                 committed = self._commit(delta)
+            if n_new is None:
+                # delta rows == n_due_total (outcome) + enqueues exactly
+                # (stats_plan counts every resp row); the count scans the
+                # just-checkpointed blocks, not the enqueue plan
+                with _timed("dense-id-count"):
+                    n_new = committed.count() - n_due_total
+                count("queueadd", n_new)
+                count("queueduplicate", n_cand - n_new)
+                self.next_id += n_new
             if self.queued_count is not None:
                 self.queued_count = self.queued_count - n_due_total + n_new
         wave_events["wave"] = self.wave - 1

@@ -110,3 +110,31 @@ def test_side_table_resume(spark, tmp_path):
                             for r in c.frontier.collect())
     assert snap(a) == snap(b2)
     pages.unpersist()
+
+
+def test_trigger_skip_flag(spark):
+    """Steady waves skip the robots trigger job once a fused wave proves no
+    un-triggered origin can be due; any out-of-band enqueue resets it."""
+    cc = synth_cc_pages(spark, 240, 8, with_robots=True)
+    pages = cc_to_crawl_pages(cc).cache()
+    pages.count()
+    seed_url = cc.filter("url like '%/p/%'").orderBy("url").first()["url"]
+    _, c = _mk(spark, pages, seed_url, None)
+    c.seed()
+    assert c._no_new_origins is False          # wave 0 must run the job
+    c.run_wave()
+    flags = []
+    while c.wave < 5 and c.queued_count:
+        flags.append(c._no_new_origins)
+        before = len(c._touched_trig_set)
+        c.run_wave()
+        if flags[-1]:
+            # a skipped trigger job may never discover (= touch) an origin
+            assert len(c._touched_trig_set) == before
+    # the tiny 8-host corpus is fully discovered within the first waves:
+    # the proof must have fired at least once
+    assert any(flags)
+    # out-of-band enqueue invalidates the proof
+    c.queue_url("http://brand-new-host.test/x")
+    assert c._no_new_origins is False
+    pages.unpersist()
