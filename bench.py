@@ -487,6 +487,11 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
     n_pages = max(int(N_PAGES_PER_SF * sf * mult), 100_000)
     n_hosts = max(int(n_pages * N_HOSTS_FRAC), 16)
     pages_arg = f"synth:{n_pages}:{n_hosts}"
+    # robots ON by default: the north_rule's job includes robots compliance,
+    # and the side-table gate now costs ~3% of a wave (BENCH/BASELINE.md
+    # robots-overhead section) — SPARK_GRAFT_SCALE_ROBOTS=0 opts out for
+    # comparisons against pre-robots sweep history
+    robots = os.environ.get("SPARK_GRAFT_SCALE_ROBOTS", "1") != "0"
     # the fast-path micro-bench result rides the leg cache too: one
     # measurement per sweep, not one per incremental invocation
     fp_cache = os.path.join(REPO, "BENCH", "scaling_legs.json")
@@ -548,7 +553,8 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
                # property (hash(host) % buckets); sizing it per-leg would
                # make the two legs run different frontiers
                "--host-buckets", "128",
-               "--store", os.path.join(tmp, "store")]
+               "--store", os.path.join(tmp, "store")] \
+              + (["--robots"] if robots else [])
         # per-leg inline hardware calibration: the VM is credit-throttled
         # and its effective-core count DRIFTS over minutes, so a single
         # up-front ceiling mis-normalizes whichever leg runs later.
@@ -597,7 +603,8 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
     # invocations. SPARK_GRAFT_SCALE_FRESH=1 ignores the cache (use after
     # any perf-relevant code change — the signature only pins the INPUT).
     cache_path = os.path.join(REPO, "BENCH", "scaling_legs.json")
-    sig = f"{pages_arg}|{SEED_FRAC}|waves=3|tokens=256|buckets=128"
+    sig = (f"{pages_arg}|{SEED_FRAC}|waves=3|tokens=256|buckets=128"
+           + ("|robots" if robots else ""))
     results = {}
     if not os.environ.get("SPARK_GRAFT_SCALE_FRESH"):
         try:
@@ -707,7 +714,8 @@ by, so the calibration targets the right (and only) machine artifact.
 Sandbox stand-in for the north_rule's N -> 4N executor criterion: the SAME
 job (`spark-submit --py-files dist/simplecrawler_spark.zip jobs/crawl_job.py
 --pages {pages_arg} --waves 3 --seed-frac {SEED_FRAC}
---tokens-per-host 256`, power-law hosts, per-wave snapshot store) on the
+--tokens-per-host 256{' --robots' if robots else ''}`, power-law hosts,
+{'robots.txt compliance ON (side-table verdict path), ' if robots else ''}per-wave snapshot store) on the
 SAME input at TWO N -> 4N core pairs — {rounds} ORDER-BALANCED round(s)
 (odd rounds run big-first), best leg per size counts (the sandbox VM is
 CPU-credit throttled; whatever runs after sustained load is slowed

@@ -48,6 +48,10 @@ def build_args(argv):
     p.add_argument("--max-depth", type=int, default=0)
     p.add_argument("--bloom-capacity", type=int, default=None,
                    help="bloom capacity per host_bucket (default: off)")
+    p.add_argument("--robots", action="store_true",
+                   help="respect robots.txt (synth corpora grow one robots "
+                        "row per even host: disallow /p/<host%%10>; odd "
+                        "hosts 404 — exercises both verdict paths at scale)")
     p.add_argument("--raw-prefilter", action="store_true",
                    help="enable the pre-canonicalization raw-URL-seen "
                         "anti-join (identical frontier either way; pays "
@@ -74,7 +78,8 @@ def main(argv=None) -> int:
 
     if args.pages.startswith("synth:"):
         _, n_pages, n_hosts = args.pages.split(":")
-        cc = synth_cc_pages(spark, int(n_pages), int(n_hosts))
+        cc = synth_cc_pages(spark, int(n_pages), int(n_hosts),
+                            with_robots=args.robots)
         seed_url = args.seed_url or "http://h0.test/p/0"
     else:
         cc = spark.read.parquet(args.pages)
@@ -83,7 +88,7 @@ def main(argv=None) -> int:
 
     cfg = CrawlerConfig(
         initial_url=seed_url,
-        filter_by_domain=False, respect_robots_txt=False,
+        filter_by_domain=False, respect_robots_txt=args.robots,
         record_fetch_log=False, id_mode="composite",
         max_depth=args.max_depth,
         tokens_per_host_per_wave=args.tokens_per_host,
@@ -109,9 +114,12 @@ def main(argv=None) -> int:
         if args.seed_frac > 0:
             # distributed bulk seed: every ceil(1/frac)-th corpus URL
             step = max(int(1 / args.seed_frac), 1)
+            # robots.txt corpus rows (with_robots) carry no /p/<id> suffix —
+            # they are fetch targets, never seeds
             extra = (cc.withColumn(
-                        "id", F.regexp_extract("url", r"/p/(\d+)$", 1)
-                        .cast("long"))
+                        "id", F.regexp_extract("url", r"/p/(\d+)$", 1))
+                     .filter(F.col("id") != "")
+                     .withColumn("id", F.col("id").cast("long"))
                      .filter((F.col("id") % step == 0) &
                              (F.col("url") != seed_url))
                      # ids are FRONTIER ids: offset past the seed() row so

@@ -134,7 +134,8 @@ def robots_allowed_udf():
     the Arrow boundary: the due/candidate rows it gates are wide (referrer
     structs, state payloads), and round-tripping them through a Python
     worker just to append one boolean measurably inflated the robots-ON
-    wave time (BENCH/BASELINE.md robots-overhead section). With a scalar
+    wave time (robots_overhead_x in the bench JSON: 1.7x before this +
+    the side-table broadcast hints, ~1.03x after). With a scalar
     UDF the wide payload stays JVM-side and the evaluation pipelines into
     the surrounding stage.
 

@@ -1480,7 +1480,8 @@ class WaveCrawler:
                 # wide processed row (referrer struct, state) stays JVM-
                 # side. The earlier mapInPandas round-trip of the full
                 # candidate mass inflated the robots-ON mega-agg ~2.5x
-                # (BENCH/BASELINE.md robots-overhead section).
+                # (robots_overhead_x in the bench JSON: 1.7x before
+                # this + the broadcast hints, ~1.03x after).
                 from ..operators.udfs import robots_allowed_udf
                 allowed = robots_allowed_udf()
                 out = (self._with_rules_json(out, side)
