@@ -110,9 +110,16 @@ def main(argv=None) -> int:
     crawler.pages.count()
     t0 = time.time()
     if not args.resume:
-        crawler.seed()
         if args.seed_frac > 0:
-            # distributed bulk seed: every ceil(1/frac)-th corpus URL
+            # distributed bulk seed: every ceil(1/frac)-th corpus URL, with
+            # the initial URL folded in at id 0 — ONE seed_frontier call on
+            # the EMPTY frontier. Pure bulk seed is the 10^10-frontier mode
+            # the north_rule describes, and it unlocks the FUSED wave path
+            # from wave 0: a crawler.seed() row is a seed chain, and if the
+            # seed URL happens to be robots-disallowed (synth h0 disallows
+            # /p/0!) the chain never completes, P11 stays armed, and every
+            # wave pays the stepwise path's 5 serial jobs — measured as the
+            # whole-sweep scaling regression this comment replaces.
             step = max(int(1 / args.seed_frac), 1)
             # robots.txt corpus rows (with_robots) carry no /p/<id> suffix —
             # they are fetch targets, never seeds
@@ -122,12 +129,15 @@ def main(argv=None) -> int:
                      .withColumn("id", F.col("id").cast("long"))
                      .filter((F.col("id") % step == 0) &
                              (F.col("url") != seed_url))
-                     # ids are FRONTIER ids: offset past the seed() row so
-                     # the id space stays collision-free (duplicate ids
-                     # break the MoR newest-version-per-id resume read)
-                     .select((F.col("id") + crawler.next_id).alias("id"),
-                             "url"))
-            crawler.seed_frontier(extra)
+                     # ids are FRONTIER ids (FIFO priority + MoR key):
+                     # offset past the initial URL's id 0 so the space
+                     # stays collision-free
+                     .select((F.col("id") + 1).alias("id"), "url"))
+            seeds = spark.createDataFrame(
+                [(0, seed_url)], "id long, url string").unionByName(extra)
+            crawler.seed_frontier(seeds)
+        else:
+            crawler.seed()
 
     waves_run = 0
     wave_secs = []
