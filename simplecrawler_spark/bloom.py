@@ -31,25 +31,14 @@ Design for scale:
 from __future__ import annotations
 
 import math
-import os
-import time
-from contextlib import contextmanager
 from typing import Iterable, List, Optional
 
 import numpy as np
 import pandas as pd
 
-_DEBUG_TIMING = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
-
-
-@contextmanager
-def _timed(label: str):
-    t = time.time()
-    yield
-    if _DEBUG_TIMING:
-        print(f"T {label} {time.time() - t:.1f}s", flush=True)
-
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .timing import timed as _timed
 
 from .sidetable import VersionedSideTable
 

@@ -36,8 +36,6 @@ Two due-selection paths:
 from __future__ import annotations
 
 import os
-import time
-from contextlib import contextmanager
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, Row, SparkSession, Window, functions as F
@@ -59,7 +57,8 @@ SUPPORTED_MIME_RLIKE = (r"^(text/.*|application/(rss|html|xhtml)?[+/-]?xml.*"
 _COMPRESSED_RLIKE = "(gzip|deflate)"
 
 
-_DEBUG_TIMING = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
+from .. import timing
+from ..timing import timed as _timed
 
 # working-frontier compaction triggers: compact when the un-compacted delta
 # mass exceeds this fraction of the frontier. Ratio 1.0 = classic LSM
@@ -91,14 +90,6 @@ DUE_CHECKPOINT_MAX_ROWS = 500_000
 # shuffle — the 10^8-origin regime, where a broadcast wouldn't fit and the
 # side table should be store-backed/bucketed instead.
 SIDE_BROADCAST_MAX_ROWS = 500_000
-
-
-@contextmanager
-def _timed(label: str):
-    t = time.time()
-    yield
-    if _DEBUG_TIMING:
-        print(f"T {label} {time.time() - t:.1f}s", flush=True)
 
 
 def _origin_url(protocol: str, host: str, port) -> str:
@@ -1095,7 +1086,8 @@ class WaveCrawler:
         small_due = (self.queued_count is not None
                      and self.queued_count < DUE_CHECKPOINT_MAX_ROWS)
         if mode == "checkpoint" or (mode == "auto" and small_due):
-            due_all = due_all.localCheckpoint(eager=True)
+            with _timed("due-checkpoint"):
+                due_all = due_all.localCheckpoint(eager=True)
         sitemap_candidates: List[dict] = []
         if self.config.respect_robots_txt and not (
                 self._no_new_origins and self._touched_trig_set):
@@ -1174,6 +1166,19 @@ class WaveCrawler:
         return self.frontier
 
     def run_wave(self) -> None:
+        # per-wave phase receipts: every _timed driver action in this wave
+        # (mega-agg, commit, robots fetch, due checkpoint, ...) accumulates
+        # into this sink and is published as ``t_<phase>`` in the wave's
+        # metrics row — the bench forwards them into its JSON so recorded
+        # legs carry their own phase evidence.
+        phase_sink: Dict[str, float] = {}
+        timing.PHASE_SINK = phase_sink
+        try:
+            self._run_wave_inner(phase_sink)
+        finally:
+            timing.PHASE_SINK = None
+
+    def _run_wave_inner(self, phase_sink: Dict[str, float]) -> None:
         cfg = self.config
         spark = self.spark
         wave_events: Dict[str, int] = {}
@@ -1859,6 +1864,8 @@ class WaveCrawler:
             if self.queued_count is not None:
                 self.queued_count = self.queued_count - n_due_total + n_new
         wave_events["wave"] = self.wave - 1
+        for k, v in phase_sink.items():
+            wave_events[f"t_{k}"] = round(v, 3)
         self.metrics.append(wave_events)
         if n_new and self.store is None:
             # post-commit: the delta is materialized, so the queued filter

@@ -27,23 +27,12 @@ import inspect
 import json
 import os
 import shutil
-import time
-from contextlib import contextmanager
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .schema import FRONTIER_SCHEMA
-
-_DEBUG_TIMING = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
-
-
-@contextmanager
-def _timed(label: str):
-    t = time.time()
-    yield
-    if _DEBUG_TIMING:
-        print(f"T {label} {time.time() - t:.1f}s", flush=True)
+from .timing import timed as _timed
 
 
 class SnapshotStore:

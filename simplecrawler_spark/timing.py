@@ -1,0 +1,43 @@
+"""Shared driver-side phase timing for the wave loop.
+
+``timed(label)`` wraps every driver action in the wave (mega-agg, commit,
+robots fetch, due checkpoint, ...). Two consumers:
+
+- ``CRAWL_DEBUG_TIMING=1`` prints ``T <label> <sec>`` stamps (the manual
+  profiling protocol in BENCH/PROFILE.md);
+- when a sink dict is installed (``run_wave`` installs one per wave), each
+  label's wall time is accumulated into it — the crawler publishes them as
+  ``t_<label>`` keys in the per-wave metrics row, which ``bench.py``
+  forwards into the bench JSON so every recorded crawl leg carries its own
+  phase receipts (the round-3 robots_overhead_x regression was
+  unattributable precisely because the driver bench kept no per-phase
+  evidence; see VERDICT r03 "What's wrong" #1).
+
+The cost is two ``time.time()`` calls and a dict update per driver action
+(a handful per wave) — always on.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from contextlib import contextmanager
+from typing import Dict, Optional
+
+_DEBUG = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
+
+# installed by WaveCrawler.run_wave for the duration of one wave
+PHASE_SINK: Optional[Dict[str, float]] = None
+
+
+@contextmanager
+def timed(label: str):
+    t = time.time()
+    yield
+    dt = time.time() - t
+    if _DEBUG:
+        print(f"T {label} {dt:.1f}s", flush=True)
+    sink = PHASE_SINK
+    if sink is not None:
+        key = label.strip()
+        sink[key] = sink.get(key, 0.0) + dt
