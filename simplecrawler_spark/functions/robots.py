@@ -180,8 +180,17 @@ class RobotsFile:
         return list(self.sitemaps)
 
 
+#: process-local parse counter. Tests assert the DRIVER stays at zero on
+#: side-table-mode waves/resume (parsing is distributed into the robots
+#: fetch kernel; executors run in separate worker processes, so their
+#: parses never increment the driver's copy).
+PARSE_CALLS = 0
+
+
 def parse_robots(robots_url: str, body: str) -> RobotsFile:
     """Parse a robots.txt body fetched from ``robots_url``."""
+    global PARSE_CALLS
+    PARSE_CALLS += 1
     sp = urlsplit(robots_url)
     scheme = (sp.scheme or "http").lower()
     rf = RobotsFile(

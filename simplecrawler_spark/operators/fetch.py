@@ -122,10 +122,13 @@ def make_live_fetcher(config: CrawlerConfig, cookies: list):
 
 def make_live_robots_fetcher(config: CrawlerConfig, rules):
     """mapInPandas kernel for live robots.txt fetches: (origin, url) rows →
-    (origin, body) rows. Each row follows its OWN redirect chain inside the
-    kernel (≤6 hops, domain-gated with ``rules`` exactly like the simulated
-    batch — getRobotsTxt semantics, /root/reference/src/crawler.ts:1368-1473),
-    so the whole fan-out runs executor-side: the driver does no HTTP. Rows
+    (origin, body, rules_json, crawl_delay, sitemaps) rows — the robots
+    PARSE happens here too, so the driver registers finished fields without
+    per-origin parsing (same contract as the simulated batch kernel). Each
+    row follows its OWN redirect chain inside the kernel (≤6 hops,
+    domain-gated with ``rules`` exactly like the simulated batch —
+    getRobotsTxt semantics, /root/reference/src/crawler.ts:1368-1473), so
+    the whole fan-out runs executor-side: the driver does no HTTP. Rows
     in a batch are drained by a thread pool capped at ``max_concurrency``
     (the C2 cap, per executor)."""
     from ..functions.decode import decode_buffer, unzip
@@ -171,6 +174,8 @@ def make_live_robots_fetcher(config: CrawlerConfig, rules):
                 return origin, None
             return origin, None
 
+        import json as _json
+        from ..functions.robots import parse_robots as _parse
         for pdf in batches:
             args = list(zip(pdf["origin"], pdf["url"]))
             if len(args) == 1:
@@ -178,8 +183,25 @@ def make_live_robots_fetcher(config: CrawlerConfig, rules):
             else:
                 with ThreadPoolExecutor(max_conc) as ex:
                     results = list(ex.map(one, args))
+            rjs, delays, sitemaps = [], [], []
+            for origin, body in results:
+                if body is None:
+                    rjs.append(None)
+                    delays.append(None)
+                    sitemaps.append(None)
+                    continue
+                # parse scoped to the ORIGIN's robots url (a redirected
+                # robots file still gates the origin that asked for it)
+                rf = _parse(origin + "/robots.txt", body)
+                rjs.append(rf.rules_payload(ua))
+                delays.append(rf.get_crawl_delay(ua))
+                sitemaps.append(_json.dumps(rf.sitemaps)
+                                if rf.sitemaps else None)
             yield pd.DataFrame({"origin": [r[0] for r in results],
-                                "body": [r[1] for r in results]})
+                                "body": [r[1] for r in results],
+                                "rules_json": rjs,
+                                "crawl_delay": delays,
+                                "sitemaps": sitemaps})
 
     return fetch
 

@@ -49,7 +49,7 @@ from ..operators.ids import assign_dense_ids
 from ..operators.politeness import select_due
 from ..operators.udfs import make_body_processor, make_candidate_processor
 from ..schema import (BODY_SCHEMA, CANDIDATE_SCHEMA, FRONTIER_SCHEMA,
-                      PROCESSED_CANDIDATE_SCHEMA)
+                      PROCESSED_CANDIDATE_SCHEMA, ROBOTS_RULES_SCHEMA)
 
 # JVM-side mime gate (P4) — keeps the hot path in whole-stage codegen
 SUPPORTED_MIME_RLIKE = (r"^(text/.*|application/(rss|html|xhtml)?[+/-]?xml.*"
@@ -169,11 +169,17 @@ class WaveCrawler:
         self._robots_bc_version = -1
         # robots/touched append-only side log bookkeeping (store-backed
         # runs): the manifest carries COUNTS, not bodies — O(1) per commit.
-        # The flush buffer holds files parsed since the last flush, so
-        # durability never depends on the store retaining self.robots.files
-        self._robots_unflushed: List = []
+        # The flush buffer holds (url, body) records gathered since the
+        # last flush, so durability never depends on the store retaining
+        # self.robots.files
+        self._robots_unflushed: List[tuple] = []
         self._robots_file_count = 0
         self._robots_flushed = {"touches": 0, "files": 0}
+        # robots_rules rows awaiting their parquet part (store-backed side-
+        # table runs): flushed alongside the body log, counted in the
+        # manifest, read back as parquet on resume — no parse replay
+        self._robots_rules_unflushed: List[tuple] = []
+        self._robots_rules_parts_flushed = 0
         # touched-origin side table for the distributed due path: the
         # per-wave trigger collect anti-joins it so only NEW origins reach
         # the driver (O(new origins), not O(due hosts))
@@ -490,6 +496,10 @@ class WaveCrawler:
             state["robots_log"] = {
                 "touches": len(self.robots.touched_hosts),
                 "files": self._robots_file_count}
+            if self._robots_side_active:
+                # committed robots_rules parquet part count — the parquet
+                # resume prefix (parts beyond it are crash orphans)
+                state["robots_rules_parts"] = self._robots_rules_parts_flushed
         else:
             state["robots"] = [{"url": rf.url, "body": rf.body}
                                for rf in self.robots.files]
@@ -528,11 +538,21 @@ class WaveCrawler:
             in_log = False  # re-buffer: the next flush migrates to the log
         for origin in touches:
             c.robots.touch(origin)  # rebuilds the touched set + order
-        for r in robots:
-            # durable=False when the body is already in the committed log —
-            # replay then rebuilds the side table / store / delay cache only
-            c._note_robots_file(parse_robots(r["url"], r["body"]),
-                                durable=not in_log)
+        if in_log and not c._robots_retain and c._robots_side_active \
+                and "robots_rules_parts" in state:
+            # parquet resume (the scale path): verdict rows + delay budgets
+            # come straight from the committed robots_rules parts — the
+            # driver parses NOTHING (the old replay re-ran parse_robots
+            # over every logged body: O(hosts) driver CPU at restart).
+            c._resume_robots_rules(state["robots_rules_parts"],
+                                   counts["files"])
+        else:
+            for r in robots:
+                # durable=False when the body is already in the committed
+                # log — replay then rebuilds the side table / store / delay
+                # cache only
+                c._note_robots_file(parse_robots(r["url"], r["body"]),
+                                    durable=not in_log)
         for k in state["cookies"]:
             c.jar.cookies.append(Cookie(**k))
         # one-time MoR merge, materialized: subsequent waves extend it
@@ -543,6 +563,33 @@ class WaveCrawler:
             # so the filter can never miss a seen URL (no false negatives).
             c.bloom.add(c.frontier.select("host_bucket", "url"))
         return c
+
+    def _resume_robots_rules(self, n_parts: int, n_files: int) -> None:
+        """Rebuild robots verdict state from the store's committed
+        robots_rules parquet parts — resume cost O(1) in host count on the
+        driver (one lazy scan becomes the side-table base; only hosts that
+        SET a Crawl-delay are collected for the budget cache, in ``seq``
+        registration order so first-delay-wins ties resolve exactly like
+        the original run). No robots body is parsed."""
+        self._robots_rules_parts_flushed = n_parts
+        self._robots_file_count = n_files
+        base = self.store.read_robots_rules(n_parts)
+        if base is None:
+            return
+        self._robots_side_base = base
+        tokens = self.config.tokens_per_host_per_wave
+        if tokens is not None:
+            wave_ms = tokens * self.config.interval_ms
+            cache = self._delay_budgets_cache[0]
+            rows = (base.filter(F.col("crawl_delay").isNotNull()
+                                & (F.col("crawl_delay") > 0))
+                    .select("host", "crawl_delay", "seq")
+                    .collect())
+            for r in sorted(rows, key=lambda x: x["seq"]):
+                if r["host"] not in cache:
+                    cache[r["host"]] = min(
+                        tokens,
+                        max(1, int(wave_ms / (r["crawl_delay"] * 1000.0))))
 
     # ------------------------------------------------------------------- seed
     def seed(self, urls: Optional[List[str]] = None) -> None:
@@ -719,32 +766,56 @@ class WaveCrawler:
         driver retains no parsed files — stays durably resumable."""
         if self.store is None:
             self._robots_unflushed = []
+            self._robots_rules_unflushed = []
             return
         t0 = self._robots_flushed["touches"]
         touches = self.robots.touched_hosts[t0:]
         files = self._robots_unflushed
-        if not touches and not files:
-            return
-        self.store.append_robots_log(
-            [{"touch": o} for o in touches]
-            + [{"robots": {"url": rf.url, "body": rf.body}} for rf in files])
-        self._robots_flushed = {"touches": t0 + len(touches),
-                                "files": self._robots_flushed["files"]
-                                + len(files)}
-        self._robots_unflushed = []
+        if touches or files:
+            self.store.append_robots_log(
+                [{"touch": o} for o in touches]
+                + [{"robots": {"url": u, "body": b}} for (u, b) in files])
+            self._robots_flushed = {"touches": t0 + len(touches),
+                                    "files": self._robots_flushed["files"]
+                                    + len(files)}
+            self._robots_unflushed = []
+        if self._robots_rules_unflushed:
+            # parquet part BEFORE the manifest that counts it (commit_wave
+            # writes the manifest after _driver_state returns) — a crash in
+            # between leaves an orphan part that resume prunes/rewrites
+            self.store.append_robots_rules(self._robots_rules_unflushed,
+                                           self._robots_rules_parts_flushed)
+            self._robots_rules_parts_flushed += 1
+            self._robots_rules_unflushed = []
 
     def _note_robots_file(self, rf, durable: bool = True) -> None:
-        """Single registration point for a freshly parsed robots file:
-        count it, buffer its body for the durability log (skipped on
-        resume replay — the body is already logged), harvest its
-        Crawl-delay into the politeness budget cache, append its rules row
-        to the side table, and retain the parsed object on the driver only
-        when a consumer needs it (see __init__). Everything the wave loop
-        needs later lives in O(1)/O(new-origins) driver state or in Spark."""
+        """Register a driver-parsed robots file (retain/legacy paths) and
+        retain the parsed object when a consumer needs it (see __init__)."""
+        cfg = self.config
+        self._note_robots_entry(
+            rf.protocol, rf.host, rf.port, rf.url, rf.body,
+            rf.rules_payload(cfg.user_agent),
+            rf.get_crawl_delay(cfg.user_agent), durable=durable)
+        if self._robots_retain:
+            self.robots.add(rf)
+
+    def _note_robots_entry(self, protocol: str, host: str, port: int,
+                           url: str, body: str,
+                           rules_json: Optional[str],
+                           crawl_delay: Optional[float],
+                           durable: bool = True) -> None:
+        """Single registration point for one origin's robots state — fields
+        only, no parsed object required (the distributed fetch kernel parses
+        executor-side and ships exactly these fields back): count it, buffer
+        (url, body) for the durability log (skipped on resume replay — the
+        body is already logged), harvest Crawl-delay into the politeness
+        budget cache, and append the rules row to the side table + its
+        parquet flush buffer. Everything the wave loop needs later lives in
+        O(1)/O(new-origins) driver state or in Spark."""
         cfg = self.config
         self._robots_file_count += 1
         if durable and self.store is not None:
-            self._robots_unflushed.append(rf)
+            self._robots_unflushed.append((url, body))
         # Crawl-delay → per-wave token budget: the wave models
         # ``tokens_per_host`` scheduler ticks of ``interval_ms`` each, so a
         # host asking for one fetch per ``delay`` seconds gets
@@ -753,24 +824,27 @@ class WaveCrawler:
         # host (same precedence as robots verdicts). Only hosts that SET a
         # delay occupy driver memory.
         tokens = cfg.tokens_per_host_per_wave
-        if tokens is not None:
-            cache, _ = self._delay_budgets_cache
-            if rf.host not in cache:
-                delay = rf.get_crawl_delay(cfg.user_agent)
-                if delay and delay > 0:
-                    wave_ms = tokens * cfg.interval_ms
-                    cache[rf.host] = min(
-                        tokens, max(1, int(wave_ms / (delay * 1000.0))))
-        if self._robots_side_active:
-            payload = rf.rules_payload(cfg.user_agent)
-            if payload is not None:
-                # buffered: one DataFrame part per side-view refresh (i.e.
-                # per wave), never one local relation per robots FILE — a
-                # seed wave can parse thousands of origins
-                self._robots_side_rowbuf.append(
-                    (rf.protocol, rf.host, rf.port, payload))
-        if self._robots_retain:
-            self.robots.add(rf)
+        if tokens is not None and crawl_delay and crawl_delay > 0 \
+                and host not in self._delay_budgets_cache[0]:
+            wave_ms = tokens * cfg.interval_ms
+            self._delay_budgets_cache[0][host] = min(
+                tokens, max(1, int(wave_ms / (crawl_delay * 1000.0))))
+        if self._robots_side_active and (
+                rules_json is not None or (crawl_delay and crawl_delay > 0)):
+            # buffered: one DataFrame part per side-view refresh (i.e.
+            # per wave), never one local relation per robots FILE — a
+            # seed wave can parse thousands of origins. Rows with only a
+            # crawl_delay carry a null rules_json (verdict: allowed, same
+            # as no row) — they exist so resume can rebuild the delay
+            # budgets from parquet. ``seq`` = registration order, the
+            # first-delay-wins tie-break across origins of one host.
+            row = (protocol, host, port, rules_json,
+                   float(crawl_delay) if crawl_delay and crawl_delay > 0
+                   else None,
+                   self._robots_file_count - 1)
+            self._robots_side_rowbuf.append(row)
+            if durable and self.store is not None:
+                self._robots_rules_unflushed.append(row)
 
     def _crawl_delay_budgets(self) -> Optional[dict]:
         """host → per-wave token budget harvested at robots parse time
@@ -788,8 +862,7 @@ class WaveCrawler:
         store's no-file verdict."""
         if self._robots_side_rowbuf:
             self._robots_side_parts.append(self.spark.createDataFrame(
-                self._robots_side_rowbuf,
-                "protocol string, host string, port int, rules_json string"))
+                self._robots_side_rowbuf, ROBOTS_RULES_SCHEMA))
             self._robots_side_rowbuf = []
         if len(self._robots_side_parts) > 32:
             base = self._robots_side_base
@@ -866,20 +939,25 @@ class WaveCrawler:
                                   .persist())
         return self._robots_pages
 
-    def _fetch_robots_batch(self, pairs: List[tuple]) -> Dict[str, Optional[str]]:
+    def _fetch_robots_batch(self, pairs: List[tuple]) -> Dict[str, Optional[dict]]:
         """Batched getRobotsTxt (crawler.ts:1368-1473): ONE broadcast join
         against the pages table per redirect round (≤6 rounds, typically 1),
-        with unzip + charset decode executor-side in an Arrow pass. The old
-        shape — one driver job + full pages scan per new host — was the #1
-        scale-killer at 10^6+ hosts.
+        with unzip + charset decode AND the robots PARSE executor-side in an
+        Arrow pass — the driver receives finished fields (body for the
+        durability log; UA-selected rules_json / crawl_delay / sitemaps for
+        registration) and does no per-origin parsing. The old shape — one
+        driver job + full pages scan per new host — was the #1 scale-killer
+        at 10^6+ hosts; the driver parse loop was the last O(new-origins)
+        driver CPU per wave.
 
-        ``pairs``: (origin, robots_url). Returns origin → decoded body, or
-        None (missing / non-2xx chain / gzip error / domain-gated redirect
-        → robotstxterror at the call site), exactly matching the recursive
-        per-host semantics."""
+        ``pairs``: (origin, robots_url). Returns origin → record dict
+        {body, rules_json, crawl_delay, sitemaps}, or None (missing /
+        non-2xx chain / gzip error / domain-gated redirect → robotstxterror
+        at the call site), exactly matching the recursive per-host
+        semantics."""
         from ..functions.filters import DomainRules, domain_valid
         from ..functions.uriref import Uri
-        out: Dict[str, Optional[str]] = {origin: None for origin, _ in pairs}
+        out: Dict[str, Optional[dict]] = {origin: None for origin, _ in pairs}
         rules = DomainRules(host=self.crawl_host,
                             filter_by_domain=self.config.filter_by_domain,
                             ignore_www_domain=self.config.ignore_www_domain,
@@ -887,25 +965,47 @@ class WaveCrawler:
                             domain_whitelist=list(self.config.domain_whitelist))
         if self.config.live_fetch:
             return self._fetch_robots_batch_live(pairs, rules)
+        ua = self.config.user_agent
 
         def finish(batches):
+            import json as _json
+            from ..functions.robots import parse_robots as _parse
             for pdf in batches:
-                texts = []
-                for code, html, ctype, cenc in zip(
-                        pdf["status"], pdf["html"], pdf["content_type"],
-                        pdf["content_encoding"]):
-                    if not (200 <= code < 300):
+                texts, rjs, delays, sitemaps = [], [], [], []
+                for origin, code, html, ctype, cenc in zip(
+                        pdf["origin"], pdf["status"], pdf["html"],
+                        pdf["content_type"], pdf["content_encoding"]):
+                    body = None
+                    if 200 <= code < 300:
+                        body = bytes(html) if html is not None else b""
+                        if "gzip" in (cenc or "") or "deflate" in (cenc or ""):
+                            unzipped, err = unzip(body)
+                            body = None if err else unzipped
+                        if body is not None:
+                            body = decode_buffer(body, ctype or "")
+                    if body is None:
                         texts.append(None)
+                        rjs.append(None)
+                        delays.append(None)
+                        sitemaps.append(None)
                         continue
-                    body = bytes(html) if html is not None else b""
-                    if "gzip" in (cenc or "") or "deflate" in (cenc or ""):
-                        unzipped, err = unzip(body)
-                        body = None if err else unzipped
-                    texts.append(None if body is None else
-                                 decode_buffer(body, ctype or ""))
+                    # parse scoped to the ORIGIN's robots url: a redirected
+                    # robots file still gates the origin that asked for it
+                    # (crawler.ts:1368-1473 keeps the original host's store
+                    # entry), so hop>=1 rows must not adopt the redirect
+                    # target's origin
+                    rf = _parse(origin + "/robots.txt", body)
+                    texts.append(body)
+                    rjs.append(rf.rules_payload(ua))
+                    delays.append(rf.get_crawl_delay(ua))
+                    sitemaps.append(_json.dumps(rf.sitemaps)
+                                    if rf.sitemaps else None)
                 res = pdf[["origin", "url", "location"]].copy()
                 res["status"] = pdf["status"].astype("int32")
                 res["body"] = texts
+                res["rules_json"] = rjs
+                res["crawl_delay"] = delays
+                res["sitemaps"] = sitemaps
                 yield res
 
         current = list(pairs)  # (origin, url-to-fetch) still unresolved
@@ -922,7 +1022,8 @@ class WaveCrawler:
                            "location"))
             rows = hit.mapInPandas(
                 finish, "origin string, url string, location string, "
-                        "status int, body string").collect()
+                        "status int, body string, rules_json string, "
+                        "crawl_delay double, sitemaps string").collect()
             got = {r["origin"]: r for r in rows}
             nxt = []
             for origin, url in current:
@@ -930,7 +1031,10 @@ class WaveCrawler:
                 if r is None:
                     continue  # missing page ⇒ no robots (testserver 404)
                 if 200 <= r["status"] < 300:
-                    out[origin] = r["body"]
+                    out[origin] = None if r["body"] is None else {
+                        "body": r["body"], "rules_json": r["rules_json"],
+                        "crawl_delay": r["crawl_delay"],
+                        "sitemaps": r["sitemaps"]}
                 elif 300 <= r["status"] < 400 and r["location"]:
                     try:
                         target = Uri(r["location"]).absolute_to(url).normalize()
@@ -942,12 +1046,13 @@ class WaveCrawler:
         return out
 
     def _fetch_robots_batch_live(self, pairs: List[tuple],
-                                 rules) -> Dict[str, Optional[str]]:
+                                 rules) -> Dict[str, Optional[dict]]:
         """Live-mode robots fetch, EXECUTOR-side: the (origin, robots_url)
         pairs fan out as an Arrow batch over the cluster; each row follows
-        its own redirect chain inside the kernel (≤6 hops, domain-gated) —
-        the driver does no HTTP. Identical verdict semantics to the
-        simulated batch; only the parsed bodies return to the driver."""
+        its own redirect chain AND parses its body inside the kernel (≤6
+        hops, domain-gated) — the driver does no HTTP and no parsing.
+        Identical verdict semantics to the simulated batch; only finished
+        fields return to the driver."""
         from ..operators.fetch import make_live_robots_fetcher
         want = self.spark.createDataFrame(
             list(pairs), "origin string, url string")
@@ -955,18 +1060,28 @@ class WaveCrawler:
                       self.spark.sparkContext.defaultParallelism)
         rows = (want.repartition(max(n_parts, 1))
                 .mapInPandas(make_live_robots_fetcher(self.config, rules),
-                             "origin string, body string")
+                             "origin string, body string, rules_json string, "
+                             "crawl_delay double, sitemaps string")
                 .collect())
-        return {r["origin"]: r["body"] for r in rows}
+        return {r["origin"]: None if r["body"] is None else {
+                    "body": r["body"], "rules_json": r["rules_json"],
+                    "crawl_delay": r["crawl_delay"],
+                    "sitemaps": r["sitemaps"]}
+                for r in rows}
 
     def _robots_from_triggers(self, triggers: List[tuple]) -> List[dict]:
         """Per new host origin (touch order = trigger id order): fetch+parse
         robots.txt, emit sitemap candidates (crawler.ts:1296-1335). Fetching
-        is batched across all new origins (_fetch_robots_batch); parse +
-        store updates run driver-side in touch order for ordering parity.
+        AND parsing are batched executor-side across all new origins
+        (_fetch_robots_batch ships back finished fields); the driver keeps
+        only the ordered touch bookkeeping + O(1)-per-origin registration in
+        touch order for ordering parity. Retain-mode consumers (driver due
+        path / in-kernel verdicts) still need the parsed RobotsFile object,
+        so only THEY re-parse driver-side.
 
         ``triggers``: (id, depth, url, protocol, host, port) of the first due
         item per origin."""
+        import json as _json
         new_keys = []
         for (_tid, _td, _tu, proto, host, port) in triggers:
             k = (proto, host, port)
@@ -981,23 +1096,40 @@ class WaveCrawler:
             origin = _origin_url(proto, host, port)
             if not self.robots.touch(origin):
                 continue
-            pending.append((tid, tdepth, turl, origin, origin + "/robots.txt"))
+            pending.append((tid, tdepth, turl, proto, host, port,
+                            origin, origin + "/robots.txt"))
         if not pending:
             return []
-        bodies = self._fetch_robots_batch([(p[3], p[4]) for p in pending])
+        recs = self._fetch_robots_batch([(p[6], p[7]) for p in pending])
         candidates: List[dict] = []
-        for (tid, tdepth, turl, origin, robots_url) in pending:
-            body = bodies.get(origin)
-            if body is None:
+        for (tid, tdepth, turl, proto, host, port,
+             origin, robots_url) in pending:
+            rec = recs.get(origin)
+            if rec is None:
                 self._count("robotstxterror", 1)
                 continue
-            rf = parse_robots(robots_url, body)
-            self._note_robots_file(rf)
+            if self._robots_retain:
+                rf = parse_robots(robots_url, rec["body"])
+                self._note_robots_file(rf)
+                sitemaps = rf.sitemaps
+            else:
+                # port key must match the parsed file's origin scoping
+                # (default port resolved from the protocol, crawler.ts
+                # origin semantics) — _with_rules_json normalizes frontier
+                # rows the same way
+                rport = port or (443 if proto == "https" else 80)
+                self._note_robots_entry(
+                    proto, host, rport, robots_url, rec["body"],
+                    rec["rules_json"], rec["crawl_delay"])
+                sitemaps = _json.loads(rec["sitemaps"]) \
+                    if rec["sitemaps"] else []
+            if not sitemaps:
+                continue
             robots_item = process_url(robots_url, turl, tdepth,
                                       self.config.url_options())
             if robots_item is None:
                 continue
-            for k, sm in enumerate(rf.sitemaps):
+            for k, sm in enumerate(sitemaps):
                 candidates.append({
                     "raw_url": sm, "referrer_id": tid,
                     "pos": -1_000_000 + k, "referrer_url": robots_item["url"],

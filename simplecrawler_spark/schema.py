@@ -86,3 +86,11 @@ LINEAGE_SCHEMA = T.StructType([
     T.StructField("url_count", T.LongType()),
     T.StructField("bloom_fpr", T.DoubleType()),
 ])
+
+# robots_rules side table: one row per touched origin that has applicable
+# rules and/or a Crawl-delay for the crawl's user agent. ``seq`` is the
+# driver registration order (first-delay-wins tie-break across origins of a
+# host); persisted as append-only parquet parts under the store so resume
+# rebuilds verdicts + delay budgets without re-parsing any robots body.
+ROBOTS_RULES_SCHEMA = ("protocol string, host string, port int, "
+                       "rules_json string, crawl_delay double, seq long")
