@@ -479,6 +479,90 @@ def _ann_multiprobe_oracle() -> str:
     """
 
 
+PLANE_SETS_DIRECTED = _plane_sets(n_tables=4, n_planes=5)
+
+
+def q_ann_multiprobe_directed(spark, sf_dir):
+    """Query-directed multiprobe LSH (Lv et al., VLDB 2007): queries probe
+    their base bucket PLUS the buckets reached by flipping the two
+    lowest-|margin| bits and the (1st+2nd)-smallest pair — the bits most
+    likely to disagree with a true neighbor's code. 4 tables x 5
+    hyperplanes, so each query probes 4 x 4 buckets while the corpus stays
+    single-code. The oracle replicates the margin ranking (abs(dot), plane
+    tie-break), the XOR probe set and the cosine rank in SQL."""
+    from simplecrawler_spark.operators.similarity import cosine_topk_lsh_multi
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return (cosine_topk_lsh_multi(emb, q, PLANE_SETS_DIRECTED, k=5,
+                                  probe_bits=2, probe_pairs=1)
+            .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
+
+
+def _ann_multiprobe_directed_oracle() -> str:
+    """DuckDB replica of the query-directed probe set: per-(vec, table)
+    plane dots via a VALUES join, base code, margin rank
+    row_number() OVER (ORDER BY abs(d), p), single flips rk<=2, the
+    (rk1, rk2) pair flip, then DISTINCT candidate pairs + cosine rank."""
+    emb = "list_transform(embedding, x -> x::DOUBLE)"
+    vals = ", ".join(
+        f"({t}, {p}, [{', '.join(str(x) for x in plane)}])"
+        for t, planes in enumerate(PLANE_SETS_DIRECTED)
+        for p, plane in enumerate(planes))
+    return f"""
+        WITH dots AS (
+          SELECT e.vec_id, pl.tbl, pl.p,
+                 list_dot_product({emb.replace('embedding', 'e.embedding')},
+                                  pl.pvec) AS d
+          FROM embeddings e
+          CROSS JOIN (VALUES {vals}) pl(tbl, p, pvec)),
+        codes AS (
+          SELECT vec_id, tbl,
+                 SUM(CASE WHEN d >= 0 THEN 1::BIGINT << p
+                          ELSE 0 END)::BIGINT AS bucket
+          FROM dots GROUP BY vec_id, tbl),
+        margins AS (
+          SELECT vec_id, tbl, p,
+                 row_number() OVER (PARTITION BY vec_id, tbl
+                                    ORDER BY abs(d), p) AS rk
+          FROM dots),
+        qflips AS (
+          SELECT vec_id, tbl,
+                 max(CASE WHEN rk = 1 THEN p END) AS p1,
+                 max(CASE WHEN rk = 2 THEN p END) AS p2
+          FROM margins WHERE vec_id % 100 = 0 GROUP BY vec_id, tbl),
+        qprobes AS (
+          SELECT vec_id, tbl, bucket FROM codes WHERE vec_id % 100 = 0
+          UNION ALL
+          SELECT f.vec_id, f.tbl, xor(c.bucket, 1::BIGINT << f.p1)
+          FROM qflips f JOIN codes c USING (vec_id, tbl)
+          UNION ALL
+          SELECT f.vec_id, f.tbl, xor(c.bucket, 1::BIGINT << f.p2)
+          FROM qflips f JOIN codes c USING (vec_id, tbl)
+          UNION ALL
+          SELECT f.vec_id, f.tbl,
+                 xor(c.bucket, (1::BIGINT << f.p1) | (1::BIGINT << f.p2))
+          FROM qflips f JOIN codes c USING (vec_id, tbl)),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_id, e.vec_id
+          FROM qprobes q JOIN codes e USING (tbl, bucket)
+          WHERE e.vec_id <> q.vec_id),
+        emb AS (SELECT vec_id, {emb} AS emb FROM embeddings)
+        SELECT q_id, vec_id, rank FROM (
+          SELECT c.q_id, c.vec_id,
+                 row_number() OVER (
+                   PARTITION BY c.q_id
+                   ORDER BY list_cosine_similarity(qe.emb, ee.emb) DESC,
+                            c.vec_id)::BIGINT AS rank
+          FROM cand c
+          JOIN emb qe ON qe.vec_id = c.q_id
+          JOIN emb ee ON ee.vec_id = c.vec_id)
+        WHERE rank <= 5
+    """
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF (inverted-file) top-k: corpus vectors partition into nearest-
     centroid cells, queries probe the 2 nearest of 16 cells. The driver
@@ -544,12 +628,30 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # --------------------------------------------------- CC corpus extraction (T1)
+CC_ORACLE_DIR = "/tmp/simplecrawler_spark_cc_oracle"
+
+
+def _cc_oracle_paths():
+    """Fixed paths (the oracle SQL is a static string): the query OVERWRITES
+    them on every run and the driver's oracle pass runs right after the
+    Spark query, so both sides always read the same bytes."""
+    return (f"{CC_ORACLE_DIR}/corpus.parquet",
+            f"{CC_ORACLE_DIR}/extracted.parquet")
+
+
 def q_cc_extract(spark, sf_dir):
     """input_hint invariant at scale: synthesize the (url, warc_ts, html,
-    text, lang) corpus deterministically, run the vectorized extractor, and
-    report per-lang totals + byte-identity matches. Non-SQL (binary decode
-    in an Arrow kernel) — rows-only driver check; identity is asserted by
-    tests/test_ccpages_extract.py for every row."""
+    text, lang) corpus deterministically, run the vectorized extractor over
+    the BINARY html, and report per-lang totals + byte-identity matches.
+
+    The binary decode itself has no SQL twin, so the oracle verifies the
+    CLAIM instead: the query writes the corpus's (url, text, lang) ground
+    truth and the extractor's (url, extracted_text) output to parquet and
+    computes its aggregate FROM THOSE FILES; the DuckDB oracle recomputes
+    the same join + equality aggregate over the same files independently.
+    A broken extractor shows up as n_identical < n_pages on the Spark side
+    and a value-hash mismatch is impossible to hide (per-row byte identity
+    is additionally asserted by tests/test_ccpages_extract.py)."""
     from simplecrawler_spark.operators.extract import extract_text
     from simplecrawler_spark.sources.ccpages import synth_cc_pages
     sf = 0.01
@@ -558,13 +660,34 @@ def q_cc_extract(spark, sf_dir):
     except (IndexError, ValueError):
         pass
     cc = synth_cc_pages(spark, max(int(200_000 * sf), 1_000), 64)
-    got = extract_text(cc)
-    return (cc.join(got, "url")
+    corpus_path, extracted_path = _cc_oracle_paths()
+    cc.select("url", "text", "lang").write.mode("overwrite") \
+        .parquet(corpus_path)
+    extract_text(cc).select("url", "extracted_text").write \
+        .mode("overwrite").parquet(extracted_path)
+    c = spark.read.parquet(corpus_path)
+    e = spark.read.parquet(extracted_path)
+    return (c.join(e, "url")
             .groupBy("lang")
             .agg(F.count("*").alias("n_pages"),
                  F.sum(F.when(F.col("extracted_text") == F.col("text"), 1)
                        .otherwise(0)).alias("n_identical"))
             .orderBy("lang"))
+
+
+def _cc_extract_oracle() -> str:
+    """DuckDB twin over the SAME parquet files the Spark query wrote (the
+    driver's oracle pass runs at sf0.01, after the Spark query)."""
+    corpus_path, extracted_path = _cc_oracle_paths()
+    return f"""
+        SELECT c.lang,
+               count(*)::BIGINT AS n_pages,
+               sum(CASE WHEN e.extracted_text = c.text
+                        THEN 1 ELSE 0 END)::BIGINT AS n_identical
+        FROM read_parquet('{corpus_path}/*.parquet') c
+        JOIN read_parquet('{extracted_path}/*.parquet') e USING (url)
+        GROUP BY c.lang ORDER BY c.lang
+    """
 
 
 # ============================================================ driver contract
@@ -599,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
+        "ann_multiprobe_directed": q_ann_multiprobe_directed,
         "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "multimodal_features": q_multimodal_features,
@@ -827,6 +951,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": _ann_lsh_oracle(),
         "ann_multiprobe": _ann_multiprobe_oracle(),
+        "ann_multiprobe_directed": _ann_multiprobe_directed_oracle(),
+        "cc_extract": _cc_extract_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "embed_neardup": _embed_neardup_oracle(),
         "multimodal_features": """

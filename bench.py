@@ -204,6 +204,7 @@ def crawl_bench(spark, sf: float, respect_robots: bool = False):
     # a fixed cost that vanishes over a long crawl)
     steady_urls = sum(per_wave[1:])
     steady_secs = sum(wave_secs[1:])
+    crawler.close()  # releases the co-partitioned corpus + robots slice
     pages.unpersist()
     # per-wave phase receipts (t_<phase> keys the wave loop publishes):
     # the attribution evidence for robots_overhead_x — without these the
@@ -223,16 +224,29 @@ def crawl_bench(spark, sf: float, respect_robots: bool = False):
             "n_hosts": n_hosts}
 
 
+ANN_TABLES = 80       # headline multiprobe config: measured 0.77 recall@5
+ANN_BITS = 12         # at 0.119 comparisons on the raw (near-orthogonal)
+ANN_PROBE_BITS = 4    # regime — orthonormal Gaussian tables + query-
+ANN_PROBE_PAIRS = 2   # directed probes (see BENCH/tune notes in VERDICT r04)
+
+
 def ann_bench(spark, sf_dir: str, plane_sets) -> dict:
     """Measure multi-table LSH ANN against brute force on the benchmark
     embeddings: recall@5 and the comparison fraction, on (a) the raw corpus
     (near-random vectors — top-5 neighbors at cosine ~0.37, the provably
     hard regime for any sublinear index) and (b) the same corpus with one
     deterministic planted near-duplicate (cos ~0.995) per query vector —
-    the regime the near-dup/dedup operator family actually targets."""
+    the regime the near-dup/dedup operator family actually targets.
+
+    Headline = the batch-kernel multiprobe config (orthonormal Gaussian
+    tables, query-directed probes); the md5 ±1 single-probe numbers
+    (``plane_sets``, the oracle-checked expression path) ride along as
+    ``single_probe`` for continuity with earlier rounds."""
     from pyspark.sql import functions as F
     from simplecrawler_spark.operators.similarity import (
-        _dot, _norm, cosine_topk, cosine_topk_lsh_multi, hyperplane_codes)
+        _dot, _norm, cosine_topk, cosine_topk_lsh_batch,
+        cosine_topk_lsh_multi, gaussian_plane_sets, hyperplane_codes,
+        hyperplane_codes_batch, hyperplane_probe_codes_batch)
 
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .select("vec_id", F.transform("embedding",
@@ -258,10 +272,30 @@ def ann_bench(spark, sf_dir: str, plane_sets) -> dict:
                 .filter(F.col("q_id") != F.col("vec_id"))
                 .select("q_id", "vec_id").distinct().count())
 
+    dim = len(emb.first()["embedding"])
+    mp_sets = gaussian_plane_sets(ANN_TABLES, ANN_BITS, dim)
+
+    def mp_cand_count(corpus):
+        codes = hyperplane_codes_batch(corpus, mp_sets)
+        qc = hyperplane_probe_codes_batch(
+            q.select(F.col("q_id").alias("vec_id"),
+                     F.col("q_vec").alias("embedding")), mp_sets,
+            ANN_PROBE_BITS, ANN_PROBE_PAIRS) \
+            .select(F.col("vec_id").alias("q_id"), "table", "bucket")
+        return (qc.join(codes.select("vec_id", "table", "bucket"),
+                        ["table", "bucket"])
+                .filter(F.col("q_id") != F.col("vec_id"))
+                .select("q_id", "vec_id").distinct().count())
+
     truth = pairs(cosine_topk(emb, q, k=5))
+    got_mp = pairs(cosine_topk_lsh_batch(
+        emb, q, mp_sets, k=5, probe_bits=ANN_PROBE_BITS,
+        probe_pairs=ANN_PROBE_PAIRS))
+    recall_raw = len(got_mp & truth) / max(len(truth), 1)
+    comp_raw = mp_cand_count(emb) / max(n_q * (n - 1), 1)
     got = pairs(cosine_topk_lsh_multi(emb, q, plane_sets, k=5))
-    recall_raw = len(got & truth) / max(len(truth), 1)
-    comp_raw = cand_count(emb) / max(n_q * (n - 1), 1)
+    recall_raw_sp = len(got & truth) / max(len(truth), 1)
+    comp_raw_sp = cand_count(emb) / max(n_q * (n - 1), 1)
 
     # planted near-dups: clone every query vector with a deterministic ±1
     # jitter at 10% of its norm (cos(v, clone) ~ 0.995)
@@ -276,11 +310,13 @@ def ann_bench(spark, sf_dir: str, plane_sets) -> dict:
                       F.zip_with(F.col("embedding"), jit,
                                  lambda x, y: x + eps * y).alias("embedding")))
     emb_aug = emb.unionByName(clones).persist()
-    got_aug = pairs(cosine_topk_lsh_multi(emb_aug, q, plane_sets, k=5))
+    got_aug = pairs(cosine_topk_lsh_batch(
+        emb_aug, q, mp_sets, k=5, probe_bits=ANN_PROBE_BITS,
+        probe_pairs=ANN_PROBE_PAIRS))
     found = sum((qid, qid + 1_000_000) in got_aug
                 for (qid,) in [(r["q_id"],) for r in q.select("q_id").collect()])
     recall_planted = found / max(n_q, 1)
-    comp_planted = cand_count(emb_aug) / max(n_q * (n + n_q - 1), 1)
+    comp_planted = mp_cand_count(emb_aug) / max(n_q * (n + n_q - 1), 1)
 
     # IVF variant on the same corpora: trained centroids, 4-of-16 probes
     from simplecrawler_spark.operators.similarity import (cosine_topk_ivf,
@@ -306,11 +342,17 @@ def ann_bench(spark, sf_dir: str, plane_sets) -> dict:
     emb.unpersist()
     emb_aug.unpersist()
     return {"n_vectors": n, "n_queries": n_q,
-            "tables": len(plane_sets), "bits": len(plane_sets[0]),
+            "tables": ANN_TABLES, "bits": ANN_BITS,
+            "probe_bits": ANN_PROBE_BITS, "probe_pairs": ANN_PROBE_PAIRS,
+            "planes": "orthonormal-gaussian",
             "recall_at5_raw": round(recall_raw, 3),
             "comparisons_frac_raw": round(comp_raw, 4),
             "recall_planted_neardup": round(recall_planted, 3),
             "comparisons_frac_planted": round(comp_planted, 4),
+            "single_probe": {
+                "tables": len(plane_sets), "bits": len(plane_sets[0]),
+                "recall_at5_raw": round(recall_raw_sp, 3),
+                "comparisons_frac_raw": round(comp_raw_sp, 4)},
             "ivf": {"n_centroids": 16, "nprobe": 4, "lloyd_iters": 2,
                     "recall_at5_raw": round(recall_ivf, 3),
                     "recall_planted_neardup": round(recall_ivf_planted, 3),
@@ -520,6 +562,10 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
     # robots-overhead section) — SPARK_GRAFT_SCALE_ROBOTS=0 opts out for
     # comparisons against pre-robots sweep history
     robots = os.environ.get("SPARK_GRAFT_SCALE_ROBOTS", "1") != "0"
+    # double-buffered commit (outcome half + manifest overlap the next
+    # wave): ON by default — the phase receipts showed the commit barrier
+    # at 15% of a 4-core wave; SPARK_GRAFT_SCALE_ASYNC=0 opts out for A/Bs
+    async_commit = os.environ.get("SPARK_GRAFT_SCALE_ASYNC", "1") != "0"
     # the fast-path micro-bench result rides the leg cache too: one
     # measurement per sweep, not one per incremental invocation
     fp_cache = os.path.join(REPO, "BENCH", "scaling_legs.json")
@@ -582,7 +628,8 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
                # make the two legs run different frontiers
                "--host-buckets", "128",
                "--store", os.path.join(tmp, "store")] \
-              + (["--robots"] if robots else [])
+              + (["--robots"] if robots else []) \
+              + (["--async-commit"] if async_commit else [])
         # per-leg inline hardware calibration: the VM is credit-throttled
         # and its effective-core count DRIFTS over minutes, so a single
         # up-front ceiling mis-normalizes whichever leg runs later.
@@ -632,7 +679,8 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
     # any perf-relevant code change — the signature only pins the INPUT).
     cache_path = os.path.join(REPO, "BENCH", "scaling_legs.json")
     sig = (f"{pages_arg}|{SEED_FRAC}|waves=3|tokens=256|buckets=128"
-           + ("|robots" if robots else ""))
+           + ("|robots" if robots else "")
+           + ("|async" if async_commit else ""))
     results = {}
     if not os.environ.get("SPARK_GRAFT_SCALE_FRESH"):
         try:
@@ -742,7 +790,7 @@ by, so the calibration targets the right (and only) machine artifact.
 Sandbox stand-in for the north_rule's N -> 4N executor criterion: the SAME
 job (`spark-submit --py-files dist/simplecrawler_spark.zip jobs/crawl_job.py
 --pages {pages_arg} --waves 3 --seed-frac {SEED_FRAC}
---tokens-per-host 256{' --robots' if robots else ''}`, power-law hosts,
+--tokens-per-host 256{' --robots' if robots else ''}{' --async-commit' if async_commit else ''}`, power-law hosts,
 {'robots.txt compliance ON (side-table verdict path), ' if robots else ''}per-wave snapshot store) on the
 SAME input at TWO N -> 4N core pairs — {rounds} ORDER-BALANCED round(s)
 (odd rounds run big-first), best leg per size counts (the sandbox VM is

@@ -52,6 +52,10 @@ def build_args(argv):
                    help="respect robots.txt (synth corpora grow one robots "
                         "row per even host: disallow /p/<host%%10>; odd "
                         "hosts 404 — exercises both verdict paths at scale)")
+    p.add_argument("--async-commit", action="store_true",
+                   help="double-buffered wave commit: the outcome half of "
+                        "each delta + the manifest write overlap the next "
+                        "wave's compute (durability lags one wave)")
     p.add_argument("--raw-prefilter", action="store_true",
                    help="enable the pre-canonicalization raw-URL-seen "
                         "anti-join (identical frontier either way; pays "
@@ -95,6 +99,7 @@ def main(argv=None) -> int:
         host_buckets=args.host_buckets,
         bloom_capacity_per_bucket=args.bloom_capacity,
         raw_url_prefilter=args.raw_prefilter,
+        async_commit=args.async_commit,
         max_waves=args.waves)
 
     store = SnapshotStore(args.store, spark) if args.store else None
@@ -151,6 +156,9 @@ def main(argv=None) -> int:
         crawler.run_wave()
         wave_secs.append(round(time.time() - tw, 3))
         waves_run += 1
+    crawler._join_commit()  # land the last wave's background half (no-op
+    # for monolithic commits) BEFORE the wall stops: durability is part of
+    # the measured run, it just overlaps interior waves
     wall = time.time() - t0
 
     processed = sum(m.get("fetchstart", 0) for m in crawler.metrics)

@@ -97,6 +97,14 @@ class CrawlerConfig:
     # ``bucket(url)`` partition transform): the 100-TB side of the join is
     # laid out once, and each wave shuffles only the due rows.
     copartition_pages: bool = True
+    # double-buffered wave commit (store-backed fused waves only): write the
+    # enqueue half of the wave delta synchronously — the only half the next
+    # wave's dataflow reads — and overlap the outcome half + manifest write
+    # with the next wave's compute on a background thread. Durability lags
+    # one wave: a crash inside the window resumes from the previous
+    # snapshot and replays the wave identically (the same contract as a
+    # crash before a monolithic commit).
+    async_commit: bool = False
     record_fetch_log: bool = True     # collect per-wave fetch-start order (tests)
     # driver-OOM guard for the fetch-log path: a wave whose due set exceeds
     # this bound auto-switches the crawl to the distributed due path

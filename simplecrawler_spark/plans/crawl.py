@@ -221,11 +221,25 @@ class WaveCrawler:
         self.wave = 0
         self.next_id = 0
         self.queued_count: Optional[int] = None
+        # in-flight background half of a split commit (async_commit):
+        # (future -> read-back outcome DataFrame, caches kept alive for it)
+        self._commit_future: Optional[tuple] = None
+        self._commit_pool = None  # lazily-created 1-worker executor
         self._fetch_log_overflow = False  # due set exceeded fetch_log_max_due
         self._wave_caches: List[DataFrame] = []
         # raw-URL-seen set for the pre-python prefilter (performance state
-        # only: resume starts empty and repopulates — exactness unaffected)
-        self._raw_seen: Optional[DataFrame] = None
+        # only: resume starts empty and repopulates — exactness unaffected).
+        # Maintained base + per-wave distinct-delta parts exactly like the
+        # frontier: a wave appends ONE O(wave-attempts) checkpoint instead
+        # of re-materializing the whole accumulated set (the old
+        # union+distinct+checkpoint was O(total-attempts) per wave — the
+        # same pattern the frontier was cured of). The anti-join consumer
+        # tolerates duplicate keys across parts, so no global distinct is
+        # needed until ratio-triggered compaction folds the parts.
+        self._raw_seen_base: Optional[DataFrame] = None
+        self._raw_seen_parts: List[DataFrame] = []
+        self._raw_seen_base_rows = 0   # upper bound (compaction ratio)
+        self._raw_seen_part_rows = 0   # upper bound rows across parts
         self.first_request_active = True   # _isFirstRequest, crawler.ts:597
         seed = process_url(config.initial_url, None, 0, config.url_options(),
                            initial_url=config.initial_url)
@@ -336,6 +350,20 @@ class WaveCrawler:
         if self._frontier_ids is not None:
             self._frontier_ids += n
 
+    def _join_commit(self) -> None:
+        """Land the previous wave's background commit half: append the
+        read-back outcome part to the settled view and release the caches
+        its plan pinned. No-op when nothing is in flight."""
+        if self._commit_future is None:
+            return
+        fut, caches = self._commit_future
+        self._commit_future = None
+        with _timed("join-async-commit"):
+            committed = fut.result()
+        self._settled_parts.append(committed)
+        for df in caches:
+            df.unpersist()
+
     def _maybe_compact(self) -> None:
         total = max(self._frontier_ids
                     if self._frontier_ids is not None else self.next_id, 1)
@@ -344,6 +372,9 @@ class WaveCrawler:
                                              COMPACT_MIN_ROWS)
                 or n_parts > COMPACT_MAX_PARTS):
             return
+        # compaction rebuilds the frontier from the working views — an
+        # in-flight background commit's outcome rows must land first
+        self._join_commit()
         with _timed("frontier-compact"):
             pending = self._pending_view()
             settled = self._settled_view()
@@ -370,6 +401,27 @@ class WaveCrawler:
             self._uncompacted_rows = 0
 
     # ------------------------------------------------------------------ utils
+    def close(self) -> None:
+        """Release lifetime-persisted frames (the co-partitioned pages
+        corpus, the robots-only corpus slice, the robots broadcast). The
+        crawler object stays usable — Spark re-persists on next touch —
+        but long-lived sessions running several crawls back-to-back (the
+        bench harness) should not stack N corpora in executor memory."""
+        self._join_commit()
+        if self._commit_pool is not None:
+            self._commit_pool.shutdown(wait=True)
+            self._commit_pool = None
+        if self._robots_pages is not None:
+            self._robots_pages.unpersist()
+            self._robots_pages = None
+        if self.config.copartition_pages and not self.config.live_fetch \
+                and self.pages is not None:
+            self.pages.unpersist()
+        if self._robots_bc is not None:
+            self._robots_bc.unpersist()
+            self._robots_bc = None
+            self._robots_bc_version = -1
+
     @property
     def content(self) -> Optional[DataFrame]:
         """fetched_pages analog: (id, url, depth, body, text, extracted_text,
@@ -430,6 +482,40 @@ class WaveCrawler:
                 .withColumn("__rn", F.row_number().over(
                     w.orderBy("referrer_id", "pos")))
                 .filter("__rn = 1").drop("__rn"))
+
+    def _raw_seen_view(self) -> Optional[DataFrame]:
+        """(raw_url, __rk) keys attempted in earlier waves — union of base +
+        parts, duplicates tolerated (anti-join membership only)."""
+        parts = ([self._raw_seen_base]
+                 if self._raw_seen_base is not None else []) \
+            + self._raw_seen_parts
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def _raw_seen_append(self, part: DataFrame, n_rows_ub: int) -> None:
+        """Record one wave's materialized distinct-delta; fold to a single
+        deduped base when the part mass outgrows the base (LSM ratio — the
+        same COMPACT_* knobs as the frontier) or the part list gets wide.
+        Row accounting uses driver-known upper bounds (the wave's kernel
+        row count), so no counting job is ever launched for this."""
+        self._raw_seen_parts.append(part)
+        self._raw_seen_part_rows += n_rows_ub
+        if not (self._raw_seen_part_rows
+                > max(COMPACT_RATIO * max(self._raw_seen_base_rows, 1),
+                      COMPACT_MIN_ROWS)
+                or len(self._raw_seen_parts) > COMPACT_MAX_PARTS):
+            return
+        with _timed("raw-seen-compact"):
+            folded = self._raw_seen_view().distinct() \
+                .localCheckpoint(eager=True)
+            self._raw_seen_base = folded
+            self._raw_seen_parts = []
+            self._raw_seen_base_rows += self._raw_seen_part_rows
+            self._raw_seen_part_rows = 0
 
     def _raw_key(self):
         """Referrer-resolution key for the raw-seen prefilter: an absolute
@@ -595,6 +681,7 @@ class WaveCrawler:
     def seed(self, urls: Optional[List[str]] = None) -> None:
         """Enqueue seed URL(s) — crawler.start() :646-674."""
         self._no_new_origins = False
+        self._join_commit()  # serialize with any in-flight split commit
         rows, seen = [], set()
         for u in (urls or [self.config.initial_url]):
             it = process_url(u, None, 0, self.config.url_options(),
@@ -637,6 +724,7 @@ class WaveCrawler:
         (functions.urlkit.process_url semantics).
         Returns the number of rows enqueued."""
         self._no_new_origins = False
+        self._join_commit()  # serialize with any in-flight split commit
         cols = urls.columns
         frontier_empty = self.frontier is None
         if frontier_empty:
@@ -713,6 +801,7 @@ class WaveCrawler:
         independently, matching the reliability spec's forced-duplicate
         behavior."""
         self._no_new_origins = False
+        self._join_commit()  # serialize with any in-flight split commit
         ref_url = referrer["url"] if referrer else None
         ref_depth = referrer["depth"] if referrer else 0
         it = process_url(url, ref_url, ref_depth, self.config.url_options(),
@@ -1314,6 +1403,7 @@ class WaveCrawler:
             if self.queued_count == 0:
                 break
             self.run_wave()
+        self._join_commit()  # land the last wave's background half
         return self.frontier
 
     def run_wave(self) -> None:
@@ -1616,12 +1706,13 @@ class WaveCrawler:
                           .withColumn("skip_depth_gate", F.lit(False)))
             disc = self._pre_dedupe(discovered) \
                 .select(*[f.name for f in CANDIDATE_SCHEMA.fields])
-            if cfg.raw_url_prefilter and self._raw_seen is not None:
+            raw_seen = self._raw_seen_view() if cfg.raw_url_prefilter else None
+            if raw_seen is not None:
                 # cross-wave raw-seen anti-join BEFORE python
                 # canonicalization; the dropped difference becomes
                 # queueduplicate in the accounting block below
                 disc = (disc.withColumn("__rk", self._raw_key())
-                        .join(self._raw_seen, ["raw_url", "__rk"],
+                        .join(raw_seen, ["raw_url", "__rk"],
                               "left_anti").drop("__rk"))
             return disc
 
@@ -1866,13 +1957,18 @@ class WaveCrawler:
                 dropped = n_disc_total + n_other - survivors_weighted
                 if dropped > 0:
                     count("queueduplicate", dropped)
-                # grow the raw-seen set with this wave's attempts
+                # grow the raw-seen set with this wave's attempts: ONE
+                # O(wave) distinct-delta checkpoint appended to the
+                # base+parts working set (never a full-set rewrite); the
+                # upper-bound row accounting reuses the kernel row count
+                # already collected by the mega/stepwise action
                 with _timed("raw-seen-update"):
-                    keys = processed.select(
-                        "raw_url", self._raw_key().alias("__rk")).distinct()
-                    if self._raw_seen is not None:
-                        keys = self._raw_seen.unionByName(keys).distinct()
-                    self._raw_seen = keys.localCheckpoint(eager=True)
+                    part = processed.select(
+                        "raw_url", self._raw_key().alias("__rk")) \
+                        .distinct().localCheckpoint(eager=True)
+                    self._raw_seen_append(
+                        part, int(wave_events.get("python_candidates",
+                                                  n_disc_total)))
             if n_cand:
                 accepted = processed.filter(F.col("reject_reason").isNull())
                 # within-wave ordered dedupe + seen-set anti-join (Q1/Q2/D3)
@@ -1974,6 +2070,69 @@ class WaveCrawler:
         n_due_total = stats["fetchstart"] + n_due_disallowed
 
         self.wave += 1
+        if self.store is not None and cfg.async_commit and fused \
+                and new_rows is not None:
+            # ---- split commit: enqueue half sync, outcome half overlapped
+            # with the NEXT wave's compute. The next wave's dataflow reads
+            # only pending (enqueue part + removal ids) and the seen view
+            # (superseded rows stay visible by design), so the outcome
+            # parquet + manifest can land on a background thread; every
+            # store mutation serializes on _join_commit.
+            self._join_commit()
+            enq_half = new_rows.select(*[f.name for f in
+                                         FRONTIER_SCHEMA.fields])
+            # outcome already carries the disallowed union (built above)
+            out_half = outcome.select(*[f.name for f in
+                                        FRONTIER_SCHEMA.fields])
+            with _timed("commit"):
+                token, enq_committed, n_enq = \
+                    self.store.begin_split_commit(self.wave, enq_half)
+            if n_new is None:
+                n_new = n_enq
+                count("queueadd", n_new)
+                count("queueduplicate", n_cand - n_new)
+                self.next_id += n_new
+            if self.queued_count is not None:
+                self.queued_count = self.queued_count - n_due_total + n_new
+            self._bloom_add(enq_committed)
+            # removal ids for the next wave's pending view: exactly the
+            # rows that settle this wave (every outcome row). Materialized
+            # id-only — a narrow barrier over frames the mega action just
+            # cached, NOT the wide due set.
+            with _timed("due-ids-checkpoint"):
+                # the cast+alias mints FRESH attribute ids: localCheckpoint
+                # keeps the plan's output attributes, and the raw ``id``
+                # attr descends from the same pending-view attributes this
+                # frame later anti-joins against — Catalyst resolves that
+                # mix to an INTERNAL_ERROR (conflicting references) once
+                # compaction re-unions the working views
+                due_ids = (out_half
+                           .select(F.col("id").cast("long").alias("id"))
+                           .localCheckpoint(eager=True))
+            # frozen snapshot: the background thread must not read live
+            # driver state the next wave is already mutating
+            state_snapshot = self._driver_state()
+            wave_events["wave"] = self.wave - 1
+            for k, v in phase_sink.items():
+                wave_events[f"t_{k}"] = round(v, 3)
+            self.metrics.append(wave_events)
+            self._count_frontier_ids(n_new)
+            self._pending_removed.append(due_ids)
+            if self._commit_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._commit_pool = ThreadPoolExecutor(
+                    1, thread_name_prefix="wave-commit")
+            pinned = [resp] + ([processed] if processed is not None else []) \
+                + self._wave_caches
+            self._wave_caches = []
+            fut = self._commit_pool.submit(
+                self.store.finalize_split_commit, token, out_half,
+                state_snapshot, self.bloom)
+            self._commit_future = (fut, pinned)
+            # full wave mass counts toward the compaction ratio (the
+            # settled half lands at join time)
+            self._append_enqueue(enq_committed, n_due_total + n_new)
+            return
         if self.store is not None:
             # the manifest's counters are finalized AFTER the delta parquet
             # is written, counting new rows from the materialized files

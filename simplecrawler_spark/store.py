@@ -234,6 +234,8 @@ class SnapshotStore:
         out = os.path.join(self.path, rel)
         if os.path.exists(out):
             shutil.rmtree(out)  # re-commit after crash-before-manifest
+        if os.path.exists(out + ".enq"):
+            shutil.rmtree(out + ".enq")  # orphan of a crashed split commit
         # one file per host_bucket dir (not one per task x bucket): cluster
         # rows by bucket before the partitioned write
         with _timed("  commit/delta-write"):
@@ -275,6 +277,73 @@ class SnapshotStore:
         self._write_manifest()
         return committed
 
+    # ------------------------------------------- split (overlapped) commits
+    # Double-buffered wave commit: the ENQUEUE half of a wave's delta (new
+    # queued rows) is the only part the NEXT wave's dataflow needs (due
+    # selection reads pending = base + added parts anti-join removed ids;
+    # the URL-seen view keeps superseded rows visible by design), so it is
+    # written synchronously; the OUTCOME half (status updates of the due
+    # rows — the delta's bulk) plus the manifest write happen on a
+    # background thread overlapped with the next wave's compute. Until
+    # finalize lands the manifest, BOTH dirs are orphans: a crash anywhere
+    # in the window resumes from the previous snapshot and replays the
+    # wave identically (same contract as a crash before a monolithic
+    # commit). The caller serializes store mutations — finalize is joined
+    # before the next begin/commit/compact.
+
+    def begin_split_commit(self, wave: int,
+                           enqueue_delta: DataFrame) -> Tuple[dict, DataFrame, int]:
+        """Sync half: write the enqueue rows as a (manifest-less, so far)
+        delta dir. Returns (token, read-back DataFrame, row count from the
+        parquet footers — the wave's exact enqueue count, no Spark job)."""
+        seq = self.waves[-1]["seq"] + 1 if self.waves else 0
+        rel = f"deltas/seq={seq}.enq"
+        out = os.path.join(self.path, rel)
+        if os.path.exists(out):
+            shutil.rmtree(out)  # re-commit after crash-before-manifest
+        with _timed("  commit/enq-write"):
+            self._write_clustered(enqueue_delta, out)
+        counts = self._bucket_counts(out)
+        token = {"seq": seq, "wave": wave, "rel_enq": rel,
+                 "enq_counts": counts}
+        return token, self._canonical(self._read_delta(out)), \
+            sum(counts.values())
+
+    def finalize_split_commit(self, token: dict, outcome_delta: DataFrame,
+                              state: dict, bloom=None) -> DataFrame:
+        """Background half: write the outcome delta dir, then append ONE
+        manifest entry referencing both dirs, with the caller's FROZEN
+        driver-state snapshot (captured synchronously at wave end — the
+        background thread must not read live crawler state the next wave
+        is already mutating). Returns the read-back outcome DataFrame for
+        the caller's settled view."""
+        seq = token["seq"]
+        rel_out = f"deltas/seq={seq}"
+        out = os.path.join(self.path, rel_out)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        with _timed("  commit/outcome-write"):
+            self._write_clustered(outcome_delta, out)
+        committed = self._canonical(self._read_delta(out))
+        out_counts = self._bucket_counts(out)
+        fpr = {}
+        if bloom is not None:
+            fpr = bloom.fpr_by_bucket()
+        merged = dict(token["enq_counts"])
+        for hb, n in out_counts.items():
+            merged[hb] = merged.get(hb, 0) + n
+        lineage = [
+            {"wave": token["wave"], "host_bucket": hb, "url_count": n,
+             "bloom_fpr": fpr.get(hb)}
+            for hb, n in sorted(merged.items())]
+        self._manifest["waves"].append(
+            {"seq": seq, "wave": token["wave"], "delta": rel_out,
+             "delta_extra": [token["rel_enq"]], "state": state,
+             "lineage": lineage})
+        self._manifest.setdefault("history", []).extend(lineage)
+        self._write_manifest()
+        return committed
+
     def compact(self, current: Optional[DataFrame] = None) -> DataFrame:
         """Rewrite the MoR union into a single base delta (bounded read
         amplification — the Iceberg rewrite_data_files analog). Returns the
@@ -301,7 +370,9 @@ class SnapshotStore:
             self._write_clustered(current, out)
         state = self.waves[-1]["state"]
         lineage = self.waves[-1]["lineage"]
-        superseded = [w["delta"] for w in self.waves if w["delta"] != rel]
+        superseded = [d for w in self.waves
+                      for d in [w["delta"]] + w.get("delta_extra", [])
+                      if d != rel]
         self._manifest["waves"] = [
             {"seq": seq, "wave": wave, "delta": rel, "state": state,
              "lineage": lineage, "compacted": True}]
@@ -330,11 +401,12 @@ class SnapshotStore:
         frontier incrementally instead of re-merging every wave."""
         if not self.waves:
             raise ValueError("empty store")
-        parts = [self._canonical(
-                     self.spark.read.parquet(
-                         os.path.join(self.path, w["delta"])))
+        # explicit schema (no inference): an all-duplicates wave's enqueue
+        # half is an EMPTY delta dir, which schema inference rejects
+        parts = [self._canonical(self._read_delta(os.path.join(self.path, d)))
                  .withColumn("__cw", F.lit(w["seq"]))
-                 for w in self.waves]
+                 for w in self.waves
+                 for d in [w["delta"]] + w.get("delta_extra", [])]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)

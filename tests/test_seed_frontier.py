@@ -92,8 +92,16 @@ def test_raw_prefilter_frontier_identical(spark):
     assert total(a) == total(b)
     # the prefilter must actually be LIVE: the raw-seen set is populated and
     # later waves push strictly fewer rows through the python canonicalizer
-    assert b._raw_seen is not None and b._raw_seen.count() > 0
-    assert a._raw_seen is None
+    assert b._raw_seen_view() is not None and b._raw_seen_view().count() > 0
+    assert a._raw_seen_view() is None
+    # incremental maintenance: one O(wave) distinct-delta part per
+    # candidate-producing wave, NO per-wave rewrite of the accumulated set
+    # (base stays empty until the LSM ratio/width trigger — far above this
+    # corpus), and the upper-bound accounting never launched a count job
+    assert b._raw_seen_base is None
+    assert 1 <= len(b._raw_seen_parts) <= len(b.metrics)
+    assert b._raw_seen_part_rows == sum(
+        m.get("python_candidates", 0) for m in b.metrics)
     pc = lambda c: [m.get("python_candidates", 0) for m in c.metrics]
     assert len(pc(a)) == len(pc(b)) and len(pc(b)) >= 3
     assert sum(pc(b)[1:]) < sum(pc(a)[1:]), (pc(a), pc(b))
