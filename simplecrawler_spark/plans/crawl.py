@@ -91,6 +91,11 @@ DUE_CHECKPOINT_MAX_ROWS = 500_000
 # side table should be store-backed/bucketed instead.
 SIDE_BROADCAST_MAX_ROWS = 500_000
 
+# robots_rules working-view fold trigger: above this many un-folded parts
+# the view collapses to one base (store-backed parquet scan when every row
+# is already durable, else a localCheckpoint)
+SIDE_COMPACT_MAX_PARTS = 32
+
 
 def _origin_url(protocol: str, host: str, port) -> str:
     port = port or 0
@@ -876,6 +881,23 @@ class WaveCrawler:
                                            self._robots_rules_parts_flushed)
             self._robots_rules_parts_flushed += 1
             self._robots_rules_unflushed = []
+        if self._robots_rules_parts_flushed and (
+                self._robots_side_parts or self._robots_side_rowbuf):
+            # store-backed fold (post-flush, every noted row durable): the
+            # working base becomes ONE parquet scan — size statistics for
+            # Catalyst (a checkpointed RDD scan has none, forcing the
+            # broadcast hint below the row gate and a blind SortMergeJoin
+            # above it) and zero retained driver relations. This is the
+            # >SIDE_BROADCAST_MAX_ROWS regime's layout, and building the
+            # lazy scan costs no job (unlike the checkpoint fold it
+            # replaces on store-backed runs). Scan fan-in = one dir per
+            # new-origin wave; steady state stops adding dirs once origins
+            # stop appearing (the 100-TB-store analog is a periodic
+            # rewrite of the rules parts into one bucketed file set).
+            self._robots_side_base = self.store.read_robots_rules(
+                self._robots_rules_parts_flushed)
+            self._robots_side_parts = []
+            self._robots_side_rowbuf = []
 
     def _note_robots_file(self, rf, durable: bool = True) -> None:
         """Register a driver-parsed robots file (retain/legacy paths) and
@@ -953,7 +975,11 @@ class WaveCrawler:
             self._robots_side_parts.append(self.spark.createDataFrame(
                 self._robots_side_rowbuf, ROBOTS_RULES_SCHEMA))
             self._robots_side_rowbuf = []
-        if len(self._robots_side_parts) > 32:
+        if len(self._robots_side_parts) > SIDE_COMPACT_MAX_PARTS:
+            # mid-wave fallback fold (store-less runs, or many view calls
+            # between flushes): in-memory checkpoint. Store-backed runs
+            # normally fold at flush time instead, adopting the durable
+            # parquet as the base (see _flush_robots_log).
             base = self._robots_side_base
             for p in self._robots_side_parts:
                 base = p if base is None else base.unionByName(p)

@@ -152,3 +152,31 @@ def test_orphan_rules_part_pruned(spark, pages, tmp_path):
     assert not os.path.exists(orphan_dir), "orphan part must be pruned"
     resumed.run_wave()
     assert _snapshot(resumed) == frontier_after_2
+
+
+def test_side_view_folds_to_store_parquet(spark, pages, tmp_path):
+    """After a flush lands robots rows in the store, the working
+    robots_rules view must adopt the store's parquet as its base (a
+    stats-bearing scan — the layout of the >broadcast regime), with
+    verdict rows unchanged."""
+    seeds = _seeds(spark, pages)
+    c = WaveCrawler(spark, pages, _cfg(seeds[0]),
+                    store=SnapshotStore(str(tmp_path / "s"), spark),
+                    keep_content=False)
+    c.seed(seeds)
+    c.run_wave()
+    c.run_wave()
+    side = c._robots_side_view()
+    assert side is not None
+    # base adopted from parquet: scan nodes, not an RDD checkpoint
+    assert c._robots_side_base is not None and not c._robots_side_parts
+    plan = c._robots_side_base._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Scan parquet" in plan or "FileScan" in plan, plan[:300]
+    # row parity with the durable parts
+    want = sorted((r["host"], r["rules_json"]) for r in
+                  SnapshotStore(str(tmp_path / "s"), spark)
+                  .read_robots_rules(c._robots_rules_parts_flushed)
+                  .collect())
+    got = sorted((r["host"], r["rules_json"]) for r in side.collect())
+    assert got == want
