@@ -41,6 +41,15 @@ SEED_FRAC = 0.1                   # 10% of pages seeded into wave 0
 N_WAVES = 4
 
 
+def _median(xs):
+    if not xs:
+        return None
+    s = sorted(xs)
+    n = len(s)
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(mid, 3)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -450,15 +459,14 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
             / crawl_robots["urls_per_sec_steady"], 3)
         if crawl_robots["urls_per_sec_steady"] else None,
         # each interleaved round's paired (off, on) steady rates: the
-        # window-drift evidence behind the headline best-of ratio
+        # window-drift evidence behind the headline best-of ratio. The
+        # median pairs legs that shared a window (each round runs off and
+        # on back-to-back), so it is the drift-robust summary; the best-of
+        # ratio can mix a golden off-window with a drained on-window.
         "robots_overhead_rounds": round_pairs,
-        "robots_overhead_x_median": (sorted(
-            p["overhead_x"] for p in round_pairs
-            if p["overhead_x"] is not None)
-            [len([p for p in round_pairs
-                  if p["overhead_x"] is not None]) // 2]
-            if any(p["overhead_x"] is not None for p in round_pairs)
-            else None),
+        "robots_overhead_x_median": _median(
+            [p["overhead_x"] for p in round_pairs
+             if p["overhead_x"] is not None]),
         "ann": ann,
         "fastpath": fastpath,
         "crawl": crawl,
