@@ -644,6 +644,27 @@ class WaveCrawler:
                 # cache only
                 c._note_robots_file(parse_robots(r["url"], r["body"]),
                                     durable=not in_log)
+            if c._robots_side_active and c.store is not None:
+                if in_log and "robots_rules_parts" in state:
+                    # the replayed rows are EXACTLY the committed
+                    # robots_rules parquet contents (same flush gating,
+                    # truncated to the same manifest prefix), so restore
+                    # the committed part counter: future flushes append
+                    # AFTER the committed parts instead of rmtree'ing
+                    # part=0 as an "orphan", and the store-backed fold —
+                    # which replaces the working base with a scan of parts
+                    # 0..flushed-1 — stays complete. Without this, a
+                    # default-config (record_fetch_log=True) resume lost
+                    # every pre-resume Disallow rule at the first
+                    # post-resume flush.
+                    c._robots_rules_parts_flushed = \
+                        state["robots_rules_parts"]
+                elif in_log:
+                    # legacy store: body log but no robots_rules parts.
+                    # Re-buffer the replayed rules rows as durable so they
+                    # reach parquet (part 0) before any store-backed fold
+                    # can swap the base to a parts-only scan.
+                    c._robots_rules_unflushed = list(c._robots_side_rowbuf)
         for k in state["cookies"]:
             c.jar.cookies.append(Cookie(**k))
         # one-time MoR merge, materialized: subsequent waves extend it

@@ -180,3 +180,83 @@ def test_side_view_folds_to_store_parquet(spark, pages, tmp_path):
                   .collect())
     got = sorted((r["host"], r["rules_json"]) for r in side.collect())
     assert got == want
+
+
+def test_retain_mode_resume_preserves_committed_rules(spark, pages, tmp_path):
+    """ADVICE r04 (high): with the DEFAULT config (record_fetch_log=True ⇒
+    driver retains parsed files ⇒ replay resume branch), the committed
+    robots_rules part counter must be restored on resume. Before the fix,
+    the first post-resume flush treated part=0 as a crash orphan and
+    rmtree'd it, and the store-backed fold then swapped the verdict base to
+    a parts-only scan — every pre-resume Disallow rule vanished and
+    disallowed URLs got crawled."""
+
+    def cfg(seed_url):
+        return CrawlerConfig(
+            initial_url=seed_url, filter_by_domain=False,
+            respect_robots_txt=True, record_fetch_log=True,
+            tokens_per_host_per_wave=64, host_buckets=8)
+
+    seeds = _seeds(spark, pages)
+    all_hosts = sorted({r["host"] for r in
+                        pages.selectExpr(
+                            "parse_url(url, 'HOST') AS host").distinct()
+                        .collect()})
+
+    def fresh_even_origin(crawler):
+        touched = set(crawler.robots.touched_hosts)
+        for h in all_hosts:
+            if int(h[1:].split(".")[0]) % 2 == 0 \
+                    and f"http://{h}" not in touched:
+                return f"http://{h}"
+        return None
+
+    # uninterrupted reference doing the same seed-mid-crawl sequence
+    ref = WaveCrawler(spark, pages, cfg(seeds[0]),
+                      store=SnapshotStore(str(tmp_path / "ref"), spark),
+                      keep_content=False)
+    ref.seed(seeds)
+    ref.run(max_waves=2)
+    extra = fresh_even_origin(ref)
+    assert extra is not None, "need an untouched even host for the new flush"
+    ref.seed([extra + "/p/0", extra + f"/p/{int(extra[8:].split('.')[0])%10}"])
+    ref.run(max_waves=4)
+    ref_frontier = _snapshot(ref)
+    ref_events = dict(ref.events)
+
+    # killed run, same sequence, resume between wave 2 and the extra seed
+    store_dir = str(tmp_path / "store")
+    c1 = WaveCrawler(spark, pages, cfg(seeds[0]),
+                     store=SnapshotStore(store_dir, spark),
+                     keep_content=False)
+    c1.seed(seeds)
+    c1.run(max_waves=2)
+    n_parts = c1._robots_rules_parts_flushed
+    assert n_parts >= 1, "kill point must have committed robots_rules parts"
+    pre_hosts = {r["host"]
+                 for r in SnapshotStore(store_dir, spark)
+                 .read_robots_rules(n_parts).collect()}
+    assert pre_hosts
+    del c1
+
+    store = SnapshotStore(store_dir, spark)
+    resumed = WaveCrawler.resume(spark, pages, cfg(seeds[0]), store)
+    assert resumed._robots_rules_parts_flushed == n_parts, \
+        "replay resume must restore the committed part counter"
+    resumed.seed([extra + "/p/0",
+                  extra + f"/p/{int(extra[8:].split('.')[0])%10}"])
+    resumed.run(max_waves=4)
+
+    # the committed parquet still carries every pre-resume rules row, plus
+    # the post-resume origin's — nothing was rmtree'd or folded away
+    post_hosts = {r["host"] for r in store.read_robots_rules(
+        resumed._robots_rules_parts_flushed).collect()}
+    assert pre_hosts <= post_hosts
+    assert extra.split("//")[1] in post_hosts
+
+    # pre-resume disallow verdicts survive: identical frontier (incl.
+    # 'disallowed' statuses) and events as the uninterrupted run
+    got = _snapshot(resumed)
+    assert got == ref_frontier
+    assert dict(resumed.events) == ref_events
+    assert any(s == "disallowed" for (_, _, s) in got)
