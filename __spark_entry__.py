@@ -628,15 +628,28 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # --------------------------------------------------- CC corpus extraction (T1)
-CC_ORACLE_DIR = "/tmp/simplecrawler_spark_cc_oracle"
+# The driver's oracle pass always runs at this scale (task contract), so the
+# static oracle SQL string points at the sf0.01 working dir.
+CC_ORACLE_SF = 0.01
 
 
-def _cc_oracle_paths():
-    """Fixed paths (the oracle SQL is a static string): the query OVERWRITES
-    them on every run and the driver's oracle pass runs right after the
-    Spark query, so both sides always read the same bytes."""
-    return (f"{CC_ORACLE_DIR}/corpus.parquet",
-            f"{CC_ORACLE_DIR}/extracted.parquet")
+def _cc_sf(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        return CC_ORACLE_SF
+
+
+def _cc_oracle_paths(sf: float):
+    """Per-(uid, sf) working dir: the query OVERWRITES it on every run and
+    the driver's oracle pass runs right after the Spark query, so both
+    sides read the same bytes — while runs at a DIFFERENT sf (the bench at
+    sf0.1 interleaved with correctness at sf0.01) or by a different user
+    write disjoint dirs instead of clobbering each other's oracle files.
+    (Two concurrent same-uid runs at the SAME sf still share a dir — noted
+    in COVERAGE.md.)"""
+    d = f"/tmp/simplecrawler_spark_cc_oracle_{os.getuid()}_sf{sf:g}"
+    return f"{d}/corpus.parquet", f"{d}/extracted.parquet"
 
 
 def q_cc_extract(spark, sf_dir):
@@ -654,13 +667,9 @@ def q_cc_extract(spark, sf_dir):
     is additionally asserted by tests/test_ccpages_extract.py)."""
     from simplecrawler_spark.operators.extract import extract_text
     from simplecrawler_spark.sources.ccpages import synth_cc_pages
-    sf = 0.01
-    try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
-    except (IndexError, ValueError):
-        pass
+    sf = _cc_sf(sf_dir)
     cc = synth_cc_pages(spark, max(int(200_000 * sf), 1_000), 64)
-    corpus_path, extracted_path = _cc_oracle_paths()
+    corpus_path, extracted_path = _cc_oracle_paths(sf)
     cc.select("url", "text", "lang").write.mode("overwrite") \
         .parquet(corpus_path)
     extract_text(cc).select("url", "extracted_text").write \
@@ -678,7 +687,7 @@ def q_cc_extract(spark, sf_dir):
 def _cc_extract_oracle() -> str:
     """DuckDB twin over the SAME parquet files the Spark query wrote (the
     driver's oracle pass runs at sf0.01, after the Spark query)."""
-    corpus_path, extracted_path = _cc_oracle_paths()
+    corpus_path, extracted_path = _cc_oracle_paths(CC_ORACLE_SF)
     return f"""
         SELECT c.lang,
                count(*)::BIGINT AS n_pages,

@@ -361,10 +361,16 @@ class WaveCrawler:
         its plan pinned. No-op when nothing is in flight."""
         if self._commit_future is None:
             return
-        fut, caches = self._commit_future
+        fut, caches, owner_events, bg_sink = self._commit_future
         self._commit_future = None
         with _timed("join-async-commit"):
             committed = fut.result()
+        # fold the background half's phase times into the OWNING wave's
+        # already-published metrics row (fut.result() ⇒ the thread's sink
+        # writes happened-before this read)
+        for k, v in bg_sink.items():
+            key = f"t_{k}"
+            owner_events[key] = round(owner_events.get(key, 0.0) + v, 3)
         self._settled_parts.append(committed)
         for df in caches:
             df.unpersist()
@@ -1477,11 +1483,11 @@ class WaveCrawler:
         # metrics row — the bench forwards them into its JSON so recorded
         # legs carry their own phase evidence.
         phase_sink: Dict[str, float] = {}
-        timing.PHASE_SINK = phase_sink
+        timing.set_sink(phase_sink)
         try:
             self._run_wave_inner(phase_sink)
         finally:
-            timing.PHASE_SINK = None
+            timing.set_sink(None)
 
     def _run_wave_inner(self, phase_sink: Dict[str, float]) -> None:
         cfg = self.config
@@ -2173,9 +2179,15 @@ class WaveCrawler:
                 due_ids = (out_half
                            .select(F.col("id").cast("long").alias("id"))
                            .localCheckpoint(eager=True))
-            # frozen snapshot: the background thread must not read live
-            # driver state the next wave is already mutating
+            # frozen snapshots: the background thread must not read live
+            # driver state the next wave is already mutating — that
+            # includes the Bloom side table, whose next-wave add would
+            # race a background fpr_by_bucket() and leak the NEXT wave's
+            # inserts into THIS wave's lineage
             state_snapshot = self._driver_state()
+            with _timed("bloom-fpr-snapshot"):
+                fpr_snapshot = self.bloom.fpr_by_bucket() \
+                    if self.bloom is not None else {}
             wave_events["wave"] = self.wave - 1
             for k, v in phase_sink.items():
                 wave_events[f"t_{k}"] = round(v, 3)
@@ -2189,10 +2201,23 @@ class WaveCrawler:
             pinned = [resp] + ([processed] if processed is not None else []) \
                 + self._wave_caches
             self._wave_caches = []
-            fut = self._commit_pool.submit(
-                self.store.finalize_split_commit, token, out_half,
-                state_snapshot, self.bloom)
-            self._commit_future = (fut, pinned)
+            # dedicated background sink: the overlapped outcome-write +
+            # manifest time belongs to THIS wave's receipts, merged into
+            # its (already-published) metrics row at _join_commit
+            bg_sink: Dict[str, float] = {}
+
+            def _finalize_bg(store=self.store, token=token,
+                             out_half=out_half, state=state_snapshot,
+                             fpr=fpr_snapshot, sink=bg_sink):
+                timing.set_sink(sink)
+                try:
+                    return store.finalize_split_commit(
+                        token, out_half, state, bloom_fpr=fpr)
+                finally:
+                    timing.set_sink(None)
+
+            fut = self._commit_pool.submit(_finalize_bg)
+            self._commit_future = (fut, pinned, wave_events, bg_sink)
             # full wave mass counts toward the compaction ratio (the
             # settled half lands at join time)
             self._append_enqueue(enq_committed, n_due_total + n_new)

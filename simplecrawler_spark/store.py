@@ -310,7 +310,8 @@ class SnapshotStore:
             sum(counts.values())
 
     def finalize_split_commit(self, token: dict, outcome_delta: DataFrame,
-                              state: dict, bloom=None) -> DataFrame:
+                              state: dict,
+                              bloom_fpr: Optional[dict] = None) -> DataFrame:
         """Background half: write the outcome delta dir, then append ONE
         manifest entry referencing both dirs, with the caller's FROZEN
         driver-state snapshot (captured synchronously at wave end — the
@@ -326,9 +327,10 @@ class SnapshotStore:
             self._write_clustered(outcome_delta, out)
         committed = self._canonical(self._read_delta(out))
         out_counts = self._bucket_counts(out)
-        fpr = {}
-        if bloom is not None:
-            fpr = bloom.fpr_by_bucket()
+        # caller-snapshotted per-bucket FPR (captured on the MAIN thread
+        # next to the frozen driver state — probing the live Bloom object
+        # here would race the next wave's adds and mis-attribute lineage)
+        fpr = bloom_fpr or {}
         merged = dict(token["enq_counts"])
         for hb, n in out_counts.items():
             merged[hb] = merged.get(hb, 0) + n

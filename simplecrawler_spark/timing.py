@@ -20,14 +20,25 @@ The cost is two ``time.time()`` calls and a dict update per driver action
 from __future__ import annotations
 
 import os
+import threading
 import time
 from contextlib import contextmanager
 from typing import Dict, Optional
 
 _DEBUG = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
 
-# installed by WaveCrawler.run_wave for the duration of one wave
-PHASE_SINK: Optional[Dict[str, float]] = None
+# Per-THREAD sink (installed by WaveCrawler.run_wave for the duration of
+# one wave; the async split-commit installs its own on the background
+# thread). Thread-local, not module-global: the background finalize of
+# wave N overlaps wave N+1's compute, and a shared global would credit
+# wave N's commit/outcome-write + manifest time to wave N+1's receipts —
+# exactly the attribution the receipts exist to make trustworthy.
+_TL = threading.local()
+
+
+def set_sink(sink: Optional[Dict[str, float]]) -> None:
+    """Install (or clear, with None) this thread's phase sink."""
+    _TL.sink = sink
 
 
 @contextmanager
@@ -37,7 +48,7 @@ def timed(label: str):
     dt = time.time() - t
     if _DEBUG:
         print(f"T {label} {dt:.1f}s", flush=True)
-    sink = PHASE_SINK
+    sink = getattr(_TL, "sink", None)
     if sink is not None:
         key = label.strip()
         sink[key] = sink.get(key, 0.0) + dt
