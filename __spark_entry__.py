@@ -965,19 +965,35 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "embed_neardup": _embed_neardup_oracle(),
         "multimodal_features": """
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'GIF89a' || text
+                          WHEN doc_id % 5 = 1 THEN 'GIF87a' || text
+                          ELSE text END AS payload
+              FROM documents)
             SELECT doc_id,
-                   octet_length(encode(text))::BIGINT AS n_bytes,
-                   md5(text) AS payload_hash,
-                   ((octet_length(encode(text)) % 64) + 1)::INT AS fake_width,
-                   ((('0x' || substr(md5(text), 1, 2))::INT % 64) + 1)::INT
+                   octet_length(encode(payload))::BIGINT AS n_bytes,
+                   md5(payload) AS payload_hash,
+                   -- ASCII-reachable magic prefixes only (UTF-8 text can
+                   -- never start with the 0x89/0xFF PNG/JPEG signature
+                   -- bytes); the GIF bodies are garbage, so the real GIF
+                   -- decoder correctly declines them (decoded=FALSE)
+                   CASE WHEN payload LIKE 'GIF87a%'
+                          OR payload LIKE 'GIF89a%' THEN 'gif'
+                        WHEN payload LIKE 'RIFF%'
+                          AND substr(payload, 9, 4) = 'WEBP' THEN 'webp'
+                        WHEN payload LIKE 'BM%' THEN 'bmp'
+                        ELSE 'unknown' END AS format,
+                   ((octet_length(encode(payload)) % 64) + 1)::INT
+                     AS fake_width,
+                   ((('0x' || substr(md5(payload), 1, 2))::INT % 64) + 1)::INT
                      AS fake_height,
-                   ('0x' || substr(md5(text), 3, 4))::INT / 65535.0 AS fake_mean,
-                   -- text payloads are never PNGs: the real-decode probe
-                   -- (functions/png.py) cannot fire on this corpus
+                   ('0x' || substr(md5(payload), 3, 4))::INT / 65535.0
+                     AS fake_mean,
                    FALSE AS decoded,
                    CAST(NULL AS INTEGER) AS width,
                    CAST(NULL AS INTEGER) AS height,
                    CAST(NULL AS DOUBLE) AS mean_pixel
-            FROM documents
+            FROM p
         """,
     }

@@ -233,6 +233,9 @@ def crawl_bench(spark, sf: float, respect_robots: bool = False):
             "n_hosts": n_hosts}
 
 
+IVF_CENTROIDS = 128   # BENCH/tune_ivf.py r05 grid: 0.79 recall@5 at 0.31
+IVF_ITERS = 4         # comparison UB on the raw regime (old 16/2/4: 0.61)
+IVF_NPROBE = 32
 ANN_TABLES = 80       # headline multiprobe config: measured 0.77 recall@5
 ANN_BITS = 12         # at 0.119 comparisons on the raw (near-orthogonal)
 ANN_PROBE_BITS = 4    # regime — orthonormal Gaussian tables + query-
@@ -327,23 +330,28 @@ def ann_bench(spark, sf_dir: str, plane_sets) -> dict:
     recall_planted = found / max(n_q, 1)
     comp_planted = mp_cand_count(emb_aug) / max(n_q * (n + n_q - 1), 1)
 
-    # IVF variant on the same corpora: trained centroids, 4-of-16 probes
+    # IVF variant on the same corpora: trained centroids. Config from the
+    # BENCH/tune_ivf.py grid (r05): 128 cells / 4 Lloyd iters / 32 probes
+    # measured recall@5 0.79 at a 0.31 comparison upper bound on the raw
+    # near-random regime (vs 0.61 @ 0.274 for the old 16/2/4) — finer
+    # cells lift the per-comparison recall even on hard vectors.
     from simplecrawler_spark.operators.similarity import (cosine_topk_ivf,
                                                           ivf_assign,
                                                           ivf_train)
-    cents = ivf_train(emb, n_centroids=16, iters=2)
-    got_ivf = pairs(cosine_topk_ivf(emb, q, cents, k=5, nprobe=4))
+    cents = ivf_train(emb, n_centroids=IVF_CENTROIDS, iters=IVF_ITERS)
+    got_ivf = pairs(cosine_topk_ivf(emb, q, cents, k=5, nprobe=IVF_NPROBE))
     recall_ivf = len(got_ivf & truth) / max(len(truth), 1)
     cell_sizes = {r["cid"]: r["n"] for r in
                   ivf_assign(emb, cents).groupBy("cid")
                   .agg(F.count("*").alias("n")).collect()}
-    # comparisons = sum of the 4 probed cell sizes per query; upper-bound
-    # with the 4 largest cells (exact per-query probe sets vary)
-    top4 = sum(sorted(cell_sizes.values(), reverse=True)[:4])
-    comp_ivf_ub = top4 / max(n - 1, 1)
+    # comparisons = sum of probed cell sizes per query; upper-bound with
+    # the nprobe largest cells (exact per-query probe sets vary)
+    topn = sum(sorted(cell_sizes.values(), reverse=True)[:IVF_NPROBE])
+    comp_ivf_ub = topn / max(n - 1, 1)
     got_ivf_aug = pairs(cosine_topk_ivf(emb_aug, q,
-                                        ivf_train(emb_aug, 16, 2),
-                                        k=5, nprobe=4))
+                                        ivf_train(emb_aug, IVF_CENTROIDS,
+                                                  IVF_ITERS),
+                                        k=5, nprobe=IVF_NPROBE))
     found_ivf = sum((qid, qid + 1_000_000) in got_ivf_aug
                     for (qid,) in [(r["q_id"],) for r in
                                    q.select("q_id").collect()])
@@ -362,7 +370,8 @@ def ann_bench(spark, sf_dir: str, plane_sets) -> dict:
                 "tables": len(plane_sets), "bits": len(plane_sets[0]),
                 "recall_at5_raw": round(recall_raw_sp, 3),
                 "comparisons_frac_raw": round(comp_raw_sp, 4)},
-            "ivf": {"n_centroids": 16, "nprobe": 4, "lloyd_iters": 2,
+            "ivf": {"n_centroids": IVF_CENTROIDS, "nprobe": IVF_NPROBE,
+                    "lloyd_iters": IVF_ITERS,
                     "recall_at5_raw": round(recall_ivf, 3),
                     "recall_planted_neardup": round(recall_ivf_planted, 3),
                     "comparisons_frac_ub": round(comp_ivf_ub, 4)}}

@@ -52,10 +52,17 @@ def build_args(argv):
                    help="respect robots.txt (synth corpora grow one robots "
                         "row per even host: disallow /p/<host%%10>; odd "
                         "hosts 404 — exercises both verdict paths at scale)")
-    p.add_argument("--async-commit", action="store_true",
+    p.add_argument("--async-commit", dest="async_commit",
+                   action="store_true", default=True,
                    help="double-buffered wave commit: the outcome half of "
                         "each delta + the manifest write overlap the next "
-                        "wave's compute (durability lags one wave)")
+                        "wave's compute (durability lags one wave; resume "
+                        "replays it identically). DEFAULT ON for the scale "
+                        "job since the r04 interleaved A/B (every ON leg "
+                        "beat every OFF leg, 1.119x); --no-async-commit "
+                        "restores the monolithic synchronous commit")
+    p.add_argument("--no-async-commit", dest="async_commit",
+                   action="store_false")
     p.add_argument("--raw-prefilter", action="store_true",
                    help="enable the pre-canonicalization raw-URL-seen "
                         "anti-join (identical frontier either way; pays "

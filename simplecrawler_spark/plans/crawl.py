@@ -95,6 +95,11 @@ SIDE_BROADCAST_MAX_ROWS = 500_000
 # the view collapses to one base (store-backed parquet scan when every row
 # is already durable, else a localCheckpoint)
 SIDE_COMPACT_MAX_PARTS = 32
+# committed robots_rules part dirs (one per new-origin flush) are folded
+# into ONE base parquet generation once the dir count passes this — bounds
+# the working base's scan fan-in over a long crawl (the frontier's ratio
+# trigger analog; Iceberg rewrite_data_files at 100 TB)
+ROBOTS_RULES_COMPACT_MAX_PARTS = 16
 
 
 def _origin_url(protocol: str, host: str, port) -> str:
@@ -185,6 +190,11 @@ class WaveCrawler:
         # manifest, read back as parquet on resume — no parse replay
         self._robots_rules_unflushed: List[tuple] = []
         self._robots_rules_parts_flushed = 0
+        # compacted-base generation (0 = none) + deferred prune of the dirs
+        # a compaction superseded (deleted at the NEXT flush, i.e. strictly
+        # after a manifest referencing the new generation is durable)
+        self._robots_rules_base_gen = 0
+        self._robots_rules_prune: Optional[tuple] = None
         # touched-origin side table for the distributed due path: the
         # per-wave trigger collect anti-joins it so only NEW origins reach
         # the driver (O(new origins), not O(due hosts))
@@ -594,9 +604,11 @@ class WaveCrawler:
                 "touches": len(self.robots.touched_hosts),
                 "files": self._robots_file_count}
             if self._robots_side_active:
-                # committed robots_rules parquet part count — the parquet
-                # resume prefix (parts beyond it are crash orphans)
+                # committed robots_rules parquet part count + compacted-base
+                # generation — the parquet resume prefix (parts beyond the
+                # count / bases at other generations are crash orphans)
                 state["robots_rules_parts"] = self._robots_rules_parts_flushed
+                state["robots_rules_base"] = self._robots_rules_base_gen
         else:
             state["robots"] = [{"url": rf.url, "body": rf.body}
                                for rf in self.robots.files]
@@ -642,7 +654,8 @@ class WaveCrawler:
             # driver parses NOTHING (the old replay re-ran parse_robots
             # over every logged body: O(hosts) driver CPU at restart).
             c._resume_robots_rules(state["robots_rules_parts"],
-                                   counts["files"])
+                                   counts["files"],
+                                   state.get("robots_rules_base", 0))
         else:
             for r in robots:
                 # durable=False when the body is already in the committed
@@ -665,6 +678,8 @@ class WaveCrawler:
                     # post-resume flush.
                     c._robots_rules_parts_flushed = \
                         state["robots_rules_parts"]
+                    c._robots_rules_base_gen = \
+                        state.get("robots_rules_base", 0)
                 elif in_log:
                     # legacy store: body log but no robots_rules parts.
                     # Re-buffer the replayed rules rows as durable so they
@@ -682,7 +697,8 @@ class WaveCrawler:
             c.bloom.add(c.frontier.select("host_bucket", "url"))
         return c
 
-    def _resume_robots_rules(self, n_parts: int, n_files: int) -> None:
+    def _resume_robots_rules(self, n_parts: int, n_files: int,
+                             base_gen: int = 0) -> None:
         """Rebuild robots verdict state from the store's committed
         robots_rules parquet parts — resume cost O(1) in host count on the
         driver (one lazy scan becomes the side-table base; only hosts that
@@ -690,8 +706,9 @@ class WaveCrawler:
         registration order so first-delay-wins ties resolve exactly like
         the original run). No robots body is parsed."""
         self._robots_rules_parts_flushed = n_parts
+        self._robots_rules_base_gen = base_gen
         self._robots_file_count = n_files
-        base = self.store.read_robots_rules(n_parts)
+        base = self.store.read_robots_rules(n_parts, base_gen)
         if base is None:
             return
         self._robots_side_base = base
@@ -900,16 +917,36 @@ class WaveCrawler:
                                     "files": self._robots_flushed["files"]
                                     + len(files)}
             self._robots_unflushed = []
+        if self._robots_rules_prune is not None:
+            # dirs superseded by the last compaction: a manifest carrying
+            # the new base generation landed with the previous wave's
+            # commit, so the old base/parts are dead for every resume path
+            self.store.prune_robots_rules(*self._robots_rules_prune)
+            self._robots_rules_prune = None
         if self._robots_rules_unflushed:
             # parquet part BEFORE the manifest that counts it (commit_wave
             # writes the manifest after _driver_state returns) — a crash in
             # between leaves an orphan part that resume prunes/rewrites
-            self.store.append_robots_rules(self._robots_rules_unflushed,
-                                           self._robots_rules_parts_flushed)
-            self._robots_rules_parts_flushed += 1
+            if self._robots_rules_parts_flushed >= ROBOTS_RULES_COMPACT_MAX_PARTS:
+                # ratio trigger: fold base + parts + the pending rows into
+                # one new base generation instead of appending dir #N —
+                # scan fan-in stays bounded over any number of flushes
+                old = (self._robots_rules_base_gen,
+                       self._robots_rules_parts_flushed)
+                with _timed("robots-rules-compact"):
+                    self._robots_rules_base_gen = \
+                        self.store.compact_robots_rules(
+                            *old, self._robots_rules_unflushed)
+                self._robots_rules_parts_flushed = 0
+                self._robots_rules_prune = old
+            else:
+                self.store.append_robots_rules(
+                    self._robots_rules_unflushed,
+                    self._robots_rules_parts_flushed)
+                self._robots_rules_parts_flushed += 1
             self._robots_rules_unflushed = []
-        if self._robots_rules_parts_flushed and (
-                self._robots_side_parts or self._robots_side_rowbuf):
+        if (self._robots_rules_parts_flushed or self._robots_rules_base_gen) \
+                and (self._robots_side_parts or self._robots_side_rowbuf):
             # store-backed fold (post-flush, every noted row durable): the
             # working base becomes ONE parquet scan — size statistics for
             # Catalyst (a checkpointed RDD scan has none, forcing the
@@ -922,7 +959,8 @@ class WaveCrawler:
             # stop appearing (the 100-TB-store analog is a periodic
             # rewrite of the rules parts into one bucketed file set).
             self._robots_side_base = self.store.read_robots_rules(
-                self._robots_rules_parts_flushed)
+                self._robots_rules_parts_flushed,
+                self._robots_rules_base_gen, prune=False)
             self._robots_side_parts = []
             self._robots_side_rowbuf = []
 
@@ -1362,14 +1400,14 @@ class WaveCrawler:
         materialize_due = mode == "checkpoint" or (mode == "auto" and small_due)
         needs_trigger = self.config.respect_robots_txt and not (
             self._no_new_origins and self._touched_trig_set)
-        # steady robots waves (trigger job latched off, side table final at
-        # wave start) FUSE the due and verdict materializations: the
-        # verdict frame is built over the LAZY due plan and checkpointed
-        # once — paying due-checkpoint AND robots-verdict-checkpoint was
-        # ~1.3-1.7 s/wave of pure duplicate materialization at sf0.1
-        fuse_verdict = (self._robots_side_active and not needs_trigger
-                        and materialize_due)
-        if materialize_due and not fuse_verdict:
+        # ONE full-mass barrier per wave, with NO verdict join/UDF inside
+        # it: the robots verdict below joins the rules side table onto the
+        # CHECKPOINTED rows and materializes only the rule-matched sliver,
+        # so robots-ON waves pay the same full-mass barrier as robots-OFF
+        # plus an O(matched-rows) one — not a second full-mass barrier
+        # carrying the join + Arrow UDF (the r04 fused verdict checkpoint:
+        # 2.0-2.1 s vs the plain 0.7-0.9 s due checkpoint).
+        if materialize_due:
             with _timed("due-checkpoint"):
                 due_all = due_all.localCheckpoint(eager=True)
         sitemap_candidates: List[dict] = []
@@ -1399,19 +1437,21 @@ class WaveCrawler:
             # on origin, scalar-UDF-evaluate only the joined rules cell —
             # no O(hosts) broadcast, no driver robots state, and only the
             # (rules_json, url) pair crosses Arrow (the wide due row stays
-            # JVM-side; a mapInPandas round-trip here cost ~1.5 s/wave)
+            # JVM-side; a mapInPandas round-trip here cost ~1.5 s/wave).
+            # Rows whose origin joins NO rules row carry a null rules_json
+            # and are allowed by definition — they bypass the UDF and the
+            # verdict barrier entirely; only the rule-matched sliver is
+            # verdict-evaluated and (small waves) eagerly materialized.
             side = self._robots_side_view()
             if side is None:
-                # no origin has rules: nothing to verdict — the deferred
-                # due materialization still applies (fused waves skipped it
-                # above expecting the verdict checkpoint to subsume it)
-                if fuse_verdict:
-                    with _timed("due-checkpoint"):
-                        due_all = due_all.localCheckpoint(eager=True)
+                # no origin has rules: nothing to verdict
                 return due_all, None, 0, sitemap_candidates
             from ..operators.udfs import robots_allowed_udf
             allowed = robots_allowed_udf()
-            checked = (self._with_rules_json(due_all, side)
+            joined = self._with_rules_json(due_all, side)
+            no_rules = joined.filter(F.col("rules_json").isNull()) \
+                             .drop("rules_json")
+            checked = (joined.filter(F.col("rules_json").isNotNull())
                        .withColumn("robots_ok",
                                    allowed(F.col("rules_json"), F.col("url")))
                        .drop("rules_json"))
@@ -1424,18 +1464,26 @@ class WaveCrawler:
             # (mega-agg spikes to 14-24 s vs 5-8 s checkpointed; steady
             # 2869 vs 4457 URLs/s). This duplicate evaluation — not the
             # verdict work itself — was the round-3 robots_overhead_x=1.716
-            # regression. Above the due-checkpoint gate the eager barrier's
-            # O(due) cost dominates instead, exactly as for due_all.
+            # regression. With due_all checkpointed above, the barrier here
+            # is O(rule-matched rows), not O(due): the no-rules mass reads
+            # the checkpoint through one pipelined broadcast join per
+            # downstream action. Above the due-checkpoint gate everything
+            # stays lazy/persisted, exactly as for due_all.
             eager_env = os.environ.get("SPARK_GRAFT_CHECKED_EAGER", "")
             if eager_env == "0":
                 checked = checked.persist()
             elif eager_env or materialize_due:
-                # on fused waves this is the wave's ONLY due-side barrier
-                # (the politeness windows evaluate inside it)
                 with _timed("robots-verdict-checkpoint"):
                     checked = checked.localCheckpoint(eager=True)
             else:
                 checked = checked.persist()
+            self._wave_caches.append(checked)
+            due = no_rules.unionByName(
+                checked.filter("robots_ok").drop("robots_ok"))
+            due_dis = checked.filter("NOT robots_ok").drop("robots_ok")
+            # n_dis DEFERRED (None): fused waves count disallowed rows
+            # inside the mega action; stepwise waves count at the call site.
+            return due, due_dis, None, sitemap_candidates
         else:
             if not (self.config.respect_robots_txt and self.robots.files):
                 return due_all, None, 0, sitemap_candidates

@@ -178,30 +178,73 @@ class SnapshotStore:
     def _robots_rules_dir(self, part: int) -> str:
         return os.path.join(self.path, "robots_rules", f"part={part}")
 
+    def _robots_rules_base_dir(self, gen: int) -> str:
+        return os.path.join(self.path, "robots_rules", f"base={gen}")
+
     def append_robots_rules(self, rows: List[tuple], part: int) -> None:
-        """Write flush ``part`` (0-based, dense). Idempotent re-write after
-        a crash-before-manifest: an existing dir at this index is an orphan
-        by definition and is replaced."""
+        """Write flush ``part`` (0-based, dense since the last base fold).
+        Idempotent re-write after a crash-before-manifest: an existing dir
+        at this index is an orphan by definition and is replaced."""
         out = self._robots_rules_dir(part)
         if os.path.exists(out):
             shutil.rmtree(out)
         df = self.spark.createDataFrame(rows, self.ROBOTS_RULES_SCHEMA)
         df.coalesce(1).write.parquet(out)
 
-    def read_robots_rules(self, n_parts: int) -> Optional[DataFrame]:
-        """One scan over the committed part prefix; prunes orphan dirs
-        beyond it. None when no part is committed."""
+    def compact_robots_rules(self, base_gen: int, n_parts: int,
+                             new_rows: List[tuple]) -> int:
+        """Fold base ``base_gen`` (0 = none) + parts 0..n_parts-1 + the
+        pending ``new_rows`` into ONE new base dir, generation
+        ``base_gen + 1`` — the periodic rewrite that bounds scan fan-in (a
+        long crawl otherwise accumulates one part dir per new-origin wave;
+        the 100-TB analog is an Iceberg rewrite_data_files over the rules
+        table). Crash-safe: the old base/part dirs are NOT touched here —
+        they stay the committed truth until a manifest referencing the new
+        generation lands, after which the caller prunes them
+        (``prune_robots_rules``); a crash before that manifest leaves the
+        new base as an orphan that resume deletes. Returns the new gen."""
+        src = self.read_robots_rules(n_parts, base_gen, prune=False)
+        df = self.spark.createDataFrame(new_rows, self.ROBOTS_RULES_SCHEMA)
+        if src is not None:
+            df = src.unionByName(df)
+        out = self._robots_rules_base_dir(base_gen + 1)
+        if os.path.exists(out):
+            shutil.rmtree(out)  # orphan from a crashed prior compaction
+        df.write.parquet(out)
+        return base_gen + 1
+
+    def prune_robots_rules(self, old_gen: int, old_n_parts: int) -> None:
+        """Delete dirs superseded by a compaction ONCE a manifest carrying
+        the new generation is durable (the caller defers this to its next
+        flush, which runs strictly after the previous wave's manifest)."""
+        if old_gen > 0:
+            shutil.rmtree(self._robots_rules_base_dir(old_gen),
+                          ignore_errors=True)
+        for p in range(old_n_parts):
+            shutil.rmtree(self._robots_rules_dir(p), ignore_errors=True)
+
+    def read_robots_rules(self, n_parts: int, base_gen: int = 0,
+                          prune: bool = True) -> Optional[DataFrame]:
+        """One scan over the committed base (if any) + part prefix.
+        ``prune=True`` (resume) deletes orphan dirs the committed manifest
+        does not reference: parts beyond the prefix, bases above the
+        committed generation (crashed compaction), and stale bases below it
+        (compaction committed, prune-deferral lost to the crash). None when
+        nothing is committed."""
         root = os.path.join(self.path, "robots_rules")
-        if os.path.isdir(root):
+        if prune and os.path.isdir(root):
             for d in os.listdir(root):
                 if d.startswith("part=") and int(d.split("=", 1)[1]) >= n_parts:
                     shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        if n_parts <= 0:
+                elif d.startswith("base=") and int(d.split("=", 1)[1]) != base_gen:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        dirs = ([self._robots_rules_base_dir(base_gen)] if base_gen > 0 else []) \
+            + [self._robots_rules_dir(p) for p in range(n_parts)]
+        if not dirs:
             return None
         return (self.spark.read
                 .schema(self.ROBOTS_RULES_SCHEMA)
-                .parquet(*[self._robots_rules_dir(p)
-                           for p in range(n_parts)]))
+                .parquet(*dirs))
 
     # --------------------------------------------------------------- commits
     def commit_wave(self, wave: int, delta: DataFrame, state: dict,
