@@ -628,9 +628,13 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # --------------------------------------------------- CC corpus extraction (T1)
-# The driver's oracle pass always runs at this scale (task contract), so the
-# static oracle SQL string points at the sf0.01 working dir.
+# Default sf for the oracle string when the query has not run in this
+# process (the driver's oracle pass runs at sf0.01 per the task contract);
+# q_cc_extract records the sf it actually ran at, so an oracle_sql() built
+# afterwards — the driver and the local test harness both do this — always
+# points at the SAME per-(uid, sf) dir the query wrote.
 CC_ORACLE_SF = 0.01
+_CC_LAST_SF = [CC_ORACLE_SF]
 
 
 def _cc_sf(sf_dir: str) -> float:
@@ -668,6 +672,7 @@ def q_cc_extract(spark, sf_dir):
     from simplecrawler_spark.operators.extract import extract_text
     from simplecrawler_spark.sources.ccpages import synth_cc_pages
     sf = _cc_sf(sf_dir)
+    _CC_LAST_SF[0] = sf
     cc = synth_cc_pages(spark, max(int(200_000 * sf), 1_000), 64)
     corpus_path, extracted_path = _cc_oracle_paths(sf)
     cc.select("url", "text", "lang").write.mode("overwrite") \
@@ -686,8 +691,9 @@ def q_cc_extract(spark, sf_dir):
 
 def _cc_extract_oracle() -> str:
     """DuckDB twin over the SAME parquet files the Spark query wrote (the
-    driver's oracle pass runs at sf0.01, after the Spark query)."""
-    corpus_path, extracted_path = _cc_oracle_paths(CC_ORACLE_SF)
+    oracle pass runs right after the Spark query in the same process, so
+    the recorded last-run sf selects the matching per-(uid, sf) dir)."""
+    corpus_path, extracted_path = _cc_oracle_paths(_CC_LAST_SF[0])
     return f"""
         SELECT c.lang,
                count(*)::BIGINT AS n_pages,

@@ -426,11 +426,18 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     round_pairs = []
     t0 = time.time()
     for _round in range(crawl_rounds):
-        c = crawl_bench(spark, sf if sf else 0.01)
+        # order-balanced rounds (same protocol as run_scaling): odd rounds
+        # run the ON leg first, so neither leg systematically executes on
+        # the machine the other leg's sustained load just credit-drained
+        legs = {}
+        order = (False, True) if _round % 2 == 0 else (True, False)
+        for robots in order:
+            legs[robots] = crawl_bench(spark, sf if sf else 0.01,
+                                       respect_robots=robots)
+        c, cr = legs[False], legs[True]
         if crawl is None or \
                 c["urls_per_sec_steady"] > crawl["urls_per_sec_steady"]:
             crawl = c
-        cr = crawl_bench(spark, sf if sf else 0.01, respect_robots=True)
         if crawl_robots is None or \
                 cr["urls_per_sec_steady"] > crawl_robots["urls_per_sec_steady"]:
             crawl_robots = cr

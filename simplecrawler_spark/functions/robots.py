@@ -29,7 +29,8 @@ from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 from urllib.parse import unquote, urlsplit
 
-__all__ = ["RobotsFile", "RobotsStore", "parse_robots", "eval_rules"]
+__all__ = ["RobotsFile", "RobotsStore", "parse_robots", "eval_rules",
+           "prep_rules_rows", "java_regex_of"]
 
 _WILDCARD_CHARS = re.compile(r"[*$]")
 
@@ -267,6 +268,48 @@ def eval_rules(rules_json: str, url: str) -> bool:
         return False  # same choke path as RobotsStore.url_is_allowed
     v = _match_rules(rules, path)
     return True if v is None else v
+
+
+# characters escaped in the Java-regex translation of wildcard rules —
+# the union of Java Pattern and Python re metacharacters, so the same
+# string compiles identically under both engines (cross-checked by the
+# eval-parity tests: eval_rules vs the JVM aggregate fold)
+_JAVA_META = set("\\.[]{}()*+-?^$|")
+
+
+def java_regex_of(pattern: str) -> str:
+    """Translate a robots wildcard pattern (already normalized) to an
+    anchored Java-compatible regex — the executor-free twin of
+    _compile_rule's Python regex ('*' -> '(?:.*)', '$' -> end anchor,
+    everything else literal)."""
+    parts = ["^"]
+    for ch in pattern:
+        if ch == "*":
+            parts.append("(?:.*)")
+        elif ch == "$":
+            parts.append("$")
+        elif ch in _JAVA_META:
+            parts.append("\\" + ch)
+        else:
+            parts.append(ch)
+    return "".join(parts)
+
+
+def prep_rules_rows(rules_json: str):
+    """Decompose a ``rules_payload`` cell into JVM-evaluable rule rows:
+    (prefix, regex, rule_len, allow) — prefix set for plain rules (longest-
+    match fold), regex set for wildcard rules (first-match-wins fold). The
+    patterns in the payload are already normalized (percent-decoded,
+    leading '/') at parse time. O(#rules) per ORIGIN — runs once per side-
+    table row, never per URL: the per-URL verdict is a pure Spark
+    ``aggregate`` expression over these rows (plans/crawl.py)."""
+    out = []
+    for pattern, allow in json.loads(rules_json):
+        if _WILDCARD_CHARS.search(pattern):
+            out.append((None, java_regex_of(pattern), None, bool(allow)))
+        else:
+            out.append((pattern, None, len(pattern), bool(allow)))
+    return out
 
 
 class RobotsStore:

@@ -158,6 +158,25 @@ def robots_allowed_udf():
     return allowed
 
 
+def prep_rules_udf():
+    """Scalar pandas UDF ``rules_json -> array<struct<pre, rx, ln, allow>>``
+    — decomposes each ORIGIN's rule list into JVM-evaluable rows (plain
+    prefixes + translated Java regexes, functions/robots.py::
+    prep_rules_rows). Runs over the robots_rules SIDE TABLE only (one row
+    per origin with rules), so Python cost is O(origins); the per-URL
+    verdict fold is then a pure Catalyst ``aggregate`` expression with NO
+    Python in the due/candidate mass (plans/crawl.py::_robots_ok_col)."""
+    from pyspark.sql.functions import pandas_udf
+    from ..functions.robots import prep_rules_rows
+
+    @pandas_udf("array<struct<pre:string,rx:string,ln:int,allow:boolean>>")
+    def prep(rules_json: pd.Series) -> pd.Series:
+        return pd.Series([None if rj is None else prep_rules_rows(rj)
+                          for rj in rules_json.to_numpy(object)])
+
+    return prep
+
+
 def make_candidate_processor(config: CrawlerConfig, robots,
                              crawl_host: str) -> Callable:
     """mapInPandas kernel over CANDIDATE_SCHEMA rows → PROCESSED_CANDIDATE rows.

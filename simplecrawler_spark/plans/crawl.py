@@ -1076,6 +1076,86 @@ class WaveCrawler:
                         & (norm_port == F.col("__r_port")), "left")
                 .drop("__r_proto", "__r_host", "__r_port"))
 
+    def _with_rules_arr(self, df: DataFrame, side: DataFrame) -> DataFrame:
+        """Left-join the rules side table onto rows carrying (protocol,
+        host, port), adding ``rules_arr`` — the JVM-evaluable decomposition
+        of the origin's rule list (null = no applicable rules). The
+        decomposition UDF runs over the SIDE table (O(origins), broadcast
+        build time), never the row mass."""
+        from ..operators.udfs import prep_rules_udf
+        prep = prep_rules_udf()
+        s = side.select(F.col("protocol").alias("__r_proto"),
+                        F.col("host").alias("__r_host"),
+                        F.col("port").alias("__r_port"),
+                        prep(F.col("rules_json")).alias("rules_arr"))
+        if self._robots_file_count <= SIDE_BROADCAST_MAX_ROWS:
+            s = F.broadcast(s)
+        norm_port = (F.when(F.col("port").isNull() | (F.col("port") <= 0),
+                            F.when(F.col("protocol") == "https",
+                                   F.lit(443)).otherwise(F.lit(80)))
+                     .otherwise(F.col("port")))
+        return (df.join(s, (F.col("protocol") == F.col("__r_proto"))
+                        & (F.col("host") == F.col("__r_host"))
+                        & (norm_port == F.col("__r_port")), "left")
+                .drop("__r_proto", "__r_host", "__r_port"))
+
+    @staticmethod
+    def _robots_ok_col(path_col, rules_arr):
+        """Pure-Catalyst robots verdict: fold ``rules_arr`` over the
+        (already percent-decoded, below) path+query exactly like
+        functions/robots.py::_match_rules — a matching wildcard rule
+        returns immediately (robots-parser quirk, first match in file
+        order); otherwise the longest matching plain prefix wins, Allow
+        winning length ties; no match => allowed. Zero Python in the row
+        mass: the old scalar-UDF verdict put a BatchEvalPython node in the
+        wave's hottest plan, breaking whole-stage codegen and paying an
+        Arrow round-trip per due/candidate row (parity: the eval-parity
+        tests run this fold against eval_rules over the golden rule set —
+        Allow override, $-anchor, wildcard, percent-decode).
+
+        ``path_col`` is the frontier/candidate ``path`` column (resource:
+        path + '?' + query — byte-identical to what eval_rules derives
+        from the url). Percent-decode mirrors urllib.unquote: '+' stays
+        literal (pre-escaped before url_decode, which would turn it into
+        a space) and malformed %-sequences leave the path undecoded
+        (url_decode would throw; unquote leaves them in place — paths
+        mixing valid and malformed escapes are not representable either
+        way, and cannot reach here through the canonicalizer)."""
+        dec = F.when(~path_col.contains("%"), path_col).otherwise(
+            # '+' passes through (pre-escaped so url_decode keeps it
+            # literal), so a %-free path IS its own decode — the common
+            # case skips the validity regex and the decoder entirely
+            F.when(
+                path_col.rlike("^(?:[^%]|%[0-9a-fA-F]{2})*$"),
+                F.url_decode(F.regexp_replace(path_col, r"\+", "%2B"))
+            ).otherwise(path_col))
+
+        def merge(acc, r):
+            wild_verdict = F.struct(
+                F.lit(True).alias("done"), r["allow"].alias("v"),
+                acc["bl"].alias("bl"), acc["ba"].alias("ba"))
+            plain_better = (F.startswith(dec, r["pre"])
+                            & ((r["ln"] > acc["bl"])
+                               | ((r["ln"] == acc["bl"])
+                                  & r["allow"] & ~acc["ba"])))
+            plain_update = F.struct(
+                acc["done"].alias("done"), acc["v"].alias("v"),
+                r["ln"].alias("bl"), r["allow"].alias("ba"))
+            return (F.when(acc["done"], acc)
+                    .when(r["rx"].isNotNull(),
+                          F.when(F.regexp_like(dec, r["rx"]), wild_verdict)
+                          .otherwise(acc))
+                    .when(plain_better, plain_update)
+                    .otherwise(acc))
+
+        init = F.struct(F.lit(False).alias("done"), F.lit(False).alias("v"),
+                        F.lit(-1).alias("bl"), F.lit(False).alias("ba"))
+        return F.aggregate(
+            rules_arr, init, merge,
+            lambda acc: F.when(acc["done"], acc["v"])
+                         .when(acc["bl"] >= 0, acc["ba"])
+                         .otherwise(F.lit(True)))
+
     def _touched_view(self) -> Optional[DataFrame]:
         """(protocol, host, port) keys already robots-triggered — small side
         table for the trigger anti-join and the fused no-new-origins proof.
@@ -1400,22 +1480,27 @@ class WaveCrawler:
         materialize_due = mode == "checkpoint" or (mode == "auto" and small_due)
         needs_trigger = self.config.respect_robots_txt and not (
             self._no_new_origins and self._touched_trig_set)
-        # ONE full-mass barrier per wave, with NO verdict join/UDF inside
-        # it: the robots verdict below joins the rules side table onto the
-        # CHECKPOINTED rows and materializes only the rule-matched sliver,
-        # so robots-ON waves pay the same full-mass barrier as robots-OFF
-        # plus an O(matched-rows) one — not a second full-mass barrier
-        # carrying the join + Arrow UDF (the r04 fused verdict checkpoint:
-        # 2.0-2.1 s vs the plain 0.7-0.9 s due checkpoint).
-        if materialize_due:
+        if materialize_due and not self._robots_side_active:
             with _timed("due-checkpoint"):
                 due_all = due_all.localCheckpoint(eager=True)
         sitemap_candidates: List[dict] = []
         if needs_trigger:
             # skipped entirely when the previous fused wave proved no
             # un-triggered origin can be due (steady state: ~1 s/wave of
-            # pure fixed job cost)
-            trig_df = (due_all.groupBy("protocol", "host", "port")
+            # pure fixed job cost). The aggregation runs over the PENDING
+            # view, not the due set: every pending host surfaces at least
+            # its min-id row in the due set (per-host budgets floor at 1),
+            # so min(struct(id, depth, url)) per origin is identical — and
+            # a plain hash aggregate over pending skips the politeness
+            # windows entirely (the due-plan trigger job re-evaluated them
+            # at 0.6-2.1 s/wave; r04 #7). An origin whose host budget is
+            # exhausted by a sibling origin triggers at most a few waves
+            # earlier than its first due row — strictly-earlier robots
+            # compliance, identical steady state (goldens green).
+            pend = self._pending_view()
+            trig_src = pend if pend is not None else due_all
+            trig_df = (trig_src.filter(F.col("status") == "queued")
+                       .groupBy("protocol", "host", "port")
                        .agg(F.min(F.struct("id", "depth", "url")).alias("t")))
             touched = self._touched_view()
             if touched is not None:
@@ -1433,28 +1518,57 @@ class WaveCrawler:
         schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                            for f in due_all.schema.fields) + ", robots_ok boolean"
         if self._robots_side_active:
-            # distributed verdicts from the robots_rules side table: join
-            # on origin, scalar-UDF-evaluate only the joined rules cell —
-            # no O(hosts) broadcast, no driver robots state, and only the
-            # (rules_json, url) pair crosses Arrow (the wide due row stays
-            # JVM-side; a mapInPandas round-trip here cost ~1.5 s/wave).
-            # Rows whose origin joins NO rules row carry a null rules_json
-            # and are allowed by definition — they bypass the UDF and the
-            # verdict barrier entirely; only the rule-matched sliver is
-            # verdict-evaluated and (small waves) eagerly materialized.
+            # distributed verdicts from the robots_rules side table (built
+            # AFTER the trigger fetch so this wave's new rules gate this
+            # wave's due rows): join on origin, scalar-UDF-evaluate only
+            # the joined rules cell — no O(hosts) broadcast, no driver
+            # robots state, and the wide due row stays JVM-side (a
+            # mapInPandas round-trip here cost ~1.5 s/wave). The verdict
+            # FUSES into the wave's single due-side barrier: one
+            # checkpoint of the full due mass carrying robots_ok, with the
+            # UDF inputs NULL-MASKED so rows whose origin joins no rules
+            # row (allowed by definition; the vast majority at scale)
+            # cross Arrow as validity bits, not strings. The r05 A/B of
+            # the alternative — a plain due barrier plus a rule-matched
+            # sliver barrier and a union view — measured WORSE (the union
+            # re-evaluated its broadcast join per downstream action and
+            # the extra barrier added block-manager churn); one masked
+            # fused barrier keeps the r04 single-barrier plan shape at
+            # the split's Arrow cost.
             side = self._robots_side_view()
             if side is None:
                 # no origin has rules: nothing to verdict
+                if materialize_due:
+                    with _timed("due-checkpoint"):
+                        due_all = due_all.localCheckpoint(eager=True)
                 return due_all, None, 0, sitemap_candidates
-            from ..operators.udfs import robots_allowed_udf
-            allowed = robots_allowed_udf()
-            joined = self._with_rules_json(due_all, side)
-            no_rules = joined.filter(F.col("rules_json").isNull()) \
-                             .drop("rules_json")
-            checked = (joined.filter(F.col("rules_json").isNotNull())
-                       .withColumn("robots_ok",
-                                   allowed(F.col("rules_json"), F.col("url")))
-                       .drop("rules_json"))
+            if os.environ.get("SPARK_GRAFT_VERDICT") == "python":
+                # A/B fallback: the scalar-pandas-UDF verdict (null-masked
+                # inputs, BatchEvalPython in the barrier plan)
+                from ..operators.udfs import robots_allowed_udf
+                allowed = robots_allowed_udf()
+                need = F.col("rules_json").isNotNull()
+                checked = (self._with_rules_json(due_all, side)
+                           .withColumn(
+                               "robots_ok",
+                               F.when(~need, F.lit(True))
+                               .otherwise(allowed(
+                                   F.when(need, F.col("rules_json")),
+                                   F.when(need, F.col("url")))))
+                           .drop("rules_json"))
+            else:
+                # pure-JVM verdict: the rules decomposition UDF runs over
+                # the broadcast SIDE table (O(origins)); the per-row fold
+                # is a Catalyst aggregate — no BatchEvalPython, no Arrow,
+                # no codegen break anywhere in the due mass
+                checked = (self._with_rules_arr(due_all, side)
+                           .withColumn(
+                               "robots_ok",
+                               F.when(F.col("rules_arr").isNull(),
+                                      F.lit(True))
+                               .otherwise(self._robots_ok_col(
+                                   F.col("path"), F.col("rules_arr"))))
+                           .drop("rules_arr"))
             # same materialization rule as the due set itself: a lazily-
             # persisted verdict frame is referenced by every downstream
             # subtree (fetch join, status counters, bodies, candidates,
@@ -1464,22 +1578,20 @@ class WaveCrawler:
             # (mega-agg spikes to 14-24 s vs 5-8 s checkpointed; steady
             # 2869 vs 4457 URLs/s). This duplicate evaluation — not the
             # verdict work itself — was the round-3 robots_overhead_x=1.716
-            # regression. With due_all checkpointed above, the barrier here
-            # is O(rule-matched rows), not O(due): the no-rules mass reads
-            # the checkpoint through one pipelined broadcast join per
-            # downstream action. Above the due-checkpoint gate everything
-            # stays lazy/persisted, exactly as for due_all.
+            # regression. Above the due-checkpoint gate everything stays
+            # lazy/persisted, exactly as for due_all.
             eager_env = os.environ.get("SPARK_GRAFT_CHECKED_EAGER", "")
             if eager_env == "0":
                 checked = checked.persist()
             elif eager_env or materialize_due:
+                # the wave's ONLY due-side barrier (the politeness windows
+                # evaluate inside it)
                 with _timed("robots-verdict-checkpoint"):
                     checked = checked.localCheckpoint(eager=True)
             else:
                 checked = checked.persist()
             self._wave_caches.append(checked)
-            due = no_rules.unionByName(
-                checked.filter("robots_ok").drop("robots_ok"))
+            due = checked.filter("robots_ok").drop("robots_ok")
             due_dis = checked.filter("NOT robots_ok").drop("robots_ok")
             # n_dis DEFERRED (None): fused waves count disallowed rows
             # inside the mega action; stepwise waves count at the call site.
@@ -1861,7 +1973,8 @@ class WaveCrawler:
             out = candidates.mapInPandas(
                 make_candidate_processor(cfg, robots_arg, self.crawl_host),
                 PROCESSED_CANDIDATE_SCHEMA)
-            if side is not None:
+            if side is not None \
+                    and not os.environ.get("SPARK_GRAFT_NO_CAND_GATE"):
                 # stamp fetchdisallowed on still-unrejected rows a matching
                 # rule disallows — queueURL's precedence (junk →
                 # invaliddomain → fetchdisallowed; crawler.ts:1483-1523)
@@ -1872,19 +1985,42 @@ class WaveCrawler:
                 # candidate mass inflated the robots-ON mega-agg ~2.5x
                 # (robots_overhead_x in the bench JSON: 1.7x before
                 # this + the broadcast hints, ~1.03x after).
-                from ..operators.udfs import robots_allowed_udf
-                allowed = robots_allowed_udf()
-                out = (self._with_rules_json(out, side)
-                       .withColumn(
-                           "reject_reason",
-                           F.when(F.col("reject_reason").isNull()
-                                  & F.col("rules_json").isNotNull()
-                                  & ~allowed(F.col("rules_json"),
-                                             F.col("url")),
-                                  F.lit("fetchdisallowed"))
+                if os.environ.get("SPARK_GRAFT_VERDICT") == "python":
+                    # A/B fallback: scalar-UDF verdict with NULL-masked
+                    # inputs (rows the verdict cannot affect cross Arrow
+                    # as validity bits, not strings)
+                    from ..operators.udfs import robots_allowed_udf
+                    allowed = robots_allowed_udf()
+                    need = (F.col("reject_reason").isNull()
+                            & F.col("rules_json").isNotNull())
+                    out = (self._with_rules_json(out, side)
+                           .withColumn(
+                               "reject_reason",
+                               F.when(need
+                                      & ~allowed(
+                                          F.when(need, F.col("rules_json")),
+                                          F.when(need, F.col("url"))),
+                                      F.lit("fetchdisallowed"))
                            .otherwise(F.col("reject_reason")))
-                       .select(*[f.name for f in
-                                 PROCESSED_CANDIDATE_SCHEMA.fields]))
+                           .select(*[f.name for f in
+                                     PROCESSED_CANDIDATE_SCHEMA.fields]))
+                else:
+                    # pure-JVM verdict fold (see _robots_ok_col): keeps
+                    # the whole candidate pipeline in one codegen span —
+                    # the old BatchEvalPython node here materialized the
+                    # full candidate mass between stages every wave
+                    need = (F.col("reject_reason").isNull()
+                            & F.col("rules_arr").isNotNull())
+                    out = (self._with_rules_arr(out, side)
+                           .withColumn(
+                               "reject_reason",
+                               F.when(need & ~self._robots_ok_col(
+                                          F.col("path"),
+                                          F.col("rules_arr")),
+                                      F.lit("fetchdisallowed"))
+                               .otherwise(F.col("reject_reason")))
+                           .select(*[f.name for f in
+                                     PROCESSED_CANDIDATE_SCHEMA.fields]))
             out = out.persist()
             self._wave_caches.append(out)
             return out

@@ -67,7 +67,9 @@ def test_query_vs_oracle(spark, ddb, name):
         # rows-only check (driver's weaker path)
         assert len(s_rows) >= 0
         return
-    res = ddb.execute(ORACLES[name])
+    # rebuild AFTER the Spark query ran: file-backed oracles (cc_extract)
+    # embed the per-(uid, sf) working dir the query just wrote
+    res = ddb.execute(entry_mod.oracle_sql()[name])
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
