@@ -428,12 +428,23 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     for _round in range(crawl_rounds):
         # order-balanced rounds (same protocol as run_scaling): odd rounds
         # run the ON leg first, so neither leg systematically executes on
-        # the machine the other leg's sustained load just credit-drained
+        # the machine the other leg's sustained load just credit-drained.
+        # Each leg is BRACKETED by the inline perfectly-parallel sha256
+        # burn (the run_scaling calibration): the burns measure what the
+        # credit-throttled VM actually delivered around that leg, so the
+        # calibrated ratio cancels machine-state drift BETWEEN the two
+        # legs of a round — the r04/r05 raw per-round ratios swung
+        # 0.98x-1.9x on identical code purely from hypervisor windows.
         legs = {}
         order = (False, True) if _round % 2 == 0 else (True, False)
         for robots in order:
-            legs[robots] = crawl_bench(spark, sf if sf else 0.01,
-                                       respect_robots=robots)
+            hw_pre = _hw_rate(CPUS)
+            leg = crawl_bench(spark, sf if sf else 0.01,
+                              respect_robots=robots)
+            leg["hw_pre"], leg["hw_post"] = round(hw_pre, 2), \
+                round(_hw_rate(CPUS), 2)
+            leg["hw_rate"] = round((leg["hw_pre"] + leg["hw_post"]) / 2, 2)
+            legs[robots] = leg
         c, cr = legs[False], legs[True]
         if crawl is None or \
                 c["urls_per_sec_steady"] > crawl["urls_per_sec_steady"]:
@@ -441,12 +452,25 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         if crawl_robots is None or \
                 cr["urls_per_sec_steady"] > crawl_robots["urls_per_sec_steady"]:
             crawl_robots = cr
+        # window_clean: each leg's bracketing burns agree within 20% (the
+        # run_scaling rejection criterion) — a leg whose machine sped up
+        # or slowed down mid-leg cannot be trusted either raw or scaled
+        def _clean(leg):
+            lo, hi = sorted((leg["hw_pre"], leg["hw_post"]))
+            return lo > 0 and hi / lo <= 1.2
+        hw_ratio = (c["hw_rate"] / cr["hw_rate"]) if cr["hw_rate"] else 1.0
+        raw_x = round(c["urls_per_sec_steady"] / cr["urls_per_sec_steady"], 3) \
+            if cr["urls_per_sec_steady"] else None
         round_pairs.append({
             "off_steady": c["urls_per_sec_steady"],
             "on_steady": cr["urls_per_sec_steady"],
-            "overhead_x": round(c["urls_per_sec_steady"]
-                                / cr["urls_per_sec_steady"], 3)
-            if cr["urls_per_sec_steady"] else None})
+            "off_hw": c["hw_rate"], "on_hw": cr["hw_rate"],
+            "window_clean": bool(_clean(c) and _clean(cr)),
+            "overhead_x": raw_x,
+            # calibrated: per-leg steady rate normalized by that leg's own
+            # bracketed hardware ceiling
+            "overhead_x_cal": round(raw_x / hw_ratio, 3)
+            if raw_x is not None and hw_ratio else None})
     crawl_total = round(time.time() - t0, 3)
     # per-query seconds report the BEST leg's wall (the representative run);
     # the headline total keeps the true measured cost of all rounds
@@ -483,6 +507,15 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         "robots_overhead_x_median": _median(
             [p["overhead_x"] for p in round_pairs
              if p["overhead_x"] is not None]),
+        # drift-cancelled median: per-round ratios of burn-calibrated leg
+        # rates, window-dirty rounds (bracketing burns disagree >20%)
+        # excluded — the same rejection + calibration protocol the
+        # scaling sweep uses (BENCH/BASELINE.md)
+        "robots_overhead_x_median_cal": _median(
+            [p["overhead_x_cal"] for p in round_pairs
+             if p["overhead_x_cal"] is not None and p["window_clean"]])
+        or _median([p["overhead_x_cal"] for p in round_pairs
+                    if p["overhead_x_cal"] is not None]),
         "ann": ann,
         "fastpath": fastpath,
         "crawl": crawl,
