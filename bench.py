@@ -338,20 +338,25 @@ def ann_bench(spark, sf_dir: str, plane_sets) -> dict:
     from simplecrawler_spark.operators.similarity import (cosine_topk_ivf,
                                                           ivf_assign,
                                                           ivf_train)
-    cents = ivf_train(emb, n_centroids=IVF_CENTROIDS, iters=IVF_ITERS)
-    got_ivf = pairs(cosine_topk_ivf(emb, q, cents, k=5, nprobe=IVF_NPROBE))
+    # scale cells with corpus size (the tuned 128/32 assumes the sf0.1
+    # 2000-vector corpus; at smaller sf the same cell count would push the
+    # probed-mass bound past the 0.35 target)
+    n_cents = max(8, min(IVF_CENTROIDS, n // 15))
+    n_probe = max(2, IVF_NPROBE * n_cents // IVF_CENTROIDS)
+    cents = ivf_train(emb, n_centroids=n_cents, iters=IVF_ITERS)
+    got_ivf = pairs(cosine_topk_ivf(emb, q, cents, k=5, nprobe=n_probe))
     recall_ivf = len(got_ivf & truth) / max(len(truth), 1)
     cell_sizes = {r["cid"]: r["n"] for r in
                   ivf_assign(emb, cents).groupBy("cid")
                   .agg(F.count("*").alias("n")).collect()}
     # comparisons = sum of probed cell sizes per query; upper-bound with
     # the nprobe largest cells (exact per-query probe sets vary)
-    topn = sum(sorted(cell_sizes.values(), reverse=True)[:IVF_NPROBE])
+    topn = sum(sorted(cell_sizes.values(), reverse=True)[:n_probe])
     comp_ivf_ub = topn / max(n - 1, 1)
     got_ivf_aug = pairs(cosine_topk_ivf(emb_aug, q,
-                                        ivf_train(emb_aug, IVF_CENTROIDS,
+                                        ivf_train(emb_aug, n_cents,
                                                   IVF_ITERS),
-                                        k=5, nprobe=IVF_NPROBE))
+                                        k=5, nprobe=n_probe))
     found_ivf = sum((qid, qid + 1_000_000) in got_ivf_aug
                     for (qid,) in [(r["q_id"],) for r in
                                    q.select("q_id").collect()])
@@ -370,7 +375,7 @@ def ann_bench(spark, sf_dir: str, plane_sets) -> dict:
                 "tables": len(plane_sets), "bits": len(plane_sets[0]),
                 "recall_at5_raw": round(recall_raw_sp, 3),
                 "comparisons_frac_raw": round(comp_raw_sp, 4)},
-            "ivf": {"n_centroids": IVF_CENTROIDS, "nprobe": IVF_NPROBE,
+            "ivf": {"n_centroids": n_cents, "nprobe": n_probe,
                     "lloyd_iters": IVF_ITERS,
                     "recall_at5_raw": round(recall_ivf, 3),
                     "recall_planted_neardup": round(recall_ivf_planted, 3),
