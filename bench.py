@@ -650,21 +650,18 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
         shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
         tmp = tempfile.mkdtemp(prefix=f"scale{cpus}_", dir=shm)
         cmd = _pin_prefix(cpus) + [spark_submit, "--master", f"local[{cpus}]",
-               # 6x cores: power-law hosts skew the politeness / dedupe
-               # shuffles, and a stage quantized at ~cores partitions idles
-               # every other core behind its slowest task; fine-grained
-               # partitions shrink that tail (AQE parallelismFirst keeps
-               # them from coalescing below defaultParallelism)
-               "--conf", f"spark.sql.shuffle.partitions={max(cpus * 6, 48)}",
+               # grain = cores, AQE coalescing ON (r05 re-measurement): the
+               # r04 tuning (6x-cores grain, coalescing off) was sized for
+               # plans whose BatchEvalPython nodes split every stage; with
+               # the pure-JVM verdict fold those stages fuse into long
+               # codegen pipelines where 6x-tiny partitions multiply
+               # per-task scheduling + python-worker fill overhead — an
+               # interleaved in-process A/B on the same 3.2M-page input
+               # measured 22.5k vs 9.8k steady URLs/s (mega-agg 29-37 s vs
+               # 60-77 s) for cores-grain+coalesce vs 6x-grain+no-coalesce.
+               # AQE skew-join splitting still handles the power-law tail.
+               "--conf", f"spark.sql.shuffle.partitions={cpus}",
                "--conf", f"spark.default.parallelism={cpus}",
-               # AQE's parallelismFirst coalescing collapses the deliberate
-               # 6x-cores shuffle grain back to ~defaultParallelism: event-log
-               # profiling showed window/join stages running as 18 twelve-
-               # second tasks at 16 cores (2-wave packing, one 14 s straggler
-               # = the stage's whole tail). The grain is already sized by the
-               # line above; keep AQE (skew-join splits, empty-partition
-               # pruning) but not its re-coalescing.
-               "--conf", "spark.sql.adaptive.coalescePartitions.enabled=false",
                # local mode = ONE JVM shared by all task threads: size the
                # heap for the 32-thread leg so GC pressure (not cores) is
                # never what the 8-vs-32 ratio measures
